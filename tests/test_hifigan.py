@@ -1,0 +1,133 @@
+"""HiFi-GAN generator parity vs a functional torch transcription.
+
+Builds a random-weight torch state_dict in the reference checkpoint layout,
+runs a compact functional torch forward (F.conv1d / F.conv_transpose1d), and
+checks our flax generator + converter reproduce the waveform sample-exactly.
+"""
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from visual_onoma_to_wave_tpu.models.hifigan import (
+    HiFiGANGenerator,
+    convert_torch_state_dict,
+    vocoder_infer,
+)
+
+UPS = (8, 8, 2, 2)
+UPK = (16, 16, 4, 4)
+RKS = (3, 7, 11)
+RDS = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+CH0 = 32  # shrunk from 512 for test speed
+N_MELS = 8
+
+
+def make_state(rng) -> dict:
+    s = {}
+
+    def conv(name, cout, cin, k):
+        s[f"{name}.weight"] = torch.tensor(
+            rng.standard_normal((cout, cin, k)).astype(np.float32) * 0.1)
+        s[f"{name}.bias"] = torch.tensor(
+            rng.standard_normal(cout).astype(np.float32) * 0.1)
+
+    def convtr(name, cin, cout, k):
+        s[f"{name}.weight"] = torch.tensor(
+            rng.standard_normal((cin, cout, k)).astype(np.float32) * 0.1)
+        s[f"{name}.bias"] = torch.tensor(
+            rng.standard_normal(cout).astype(np.float32) * 0.1)
+
+    conv("conv_pre", CH0, N_MELS, 7)
+    for i, (u, k) in enumerate(zip(UPS, UPK)):
+        cin, cout = CH0 // 2 ** i, CH0 // 2 ** (i + 1)
+        convtr(f"ups.{i}", cin, cout, k)
+        for j, rk in enumerate(RKS):
+            r = i * len(RKS) + j
+            for di in range(3):
+                conv(f"resblocks.{r}.convs1.{di}", cout, cout, rk)
+                conv(f"resblocks.{r}.convs2.{di}", cout, cout, rk)
+    conv("conv_post", 1, CH0 // 2 ** len(UPS), 7)
+    return s
+
+
+def torch_forward(s: dict, mel: torch.Tensor) -> torch.Tensor:
+    """Functional transcription of the reference Generator.forward
+    (hifigan/models.py:149-165)."""
+    x = F.conv1d(mel, s["conv_pre.weight"], s["conv_pre.bias"], padding=3)
+    for i, (u, k) in enumerate(zip(UPS, UPK)):
+        x = F.leaky_relu(x, 0.1)
+        x = F.conv_transpose1d(
+            x, s[f"ups.{i}.weight"], s[f"ups.{i}.bias"], stride=u,
+            padding=(k - u) // 2)
+        acc = None
+        for j, rk in enumerate(RKS):
+            r = i * len(RKS) + j
+            y = x
+            for di, d in enumerate(RDS[j]):
+                h = F.leaky_relu(y, 0.1)
+                h = F.conv1d(h, s[f"resblocks.{r}.convs1.{di}.weight"],
+                             s[f"resblocks.{r}.convs1.{di}.bias"],
+                             dilation=d, padding=d * (rk - 1) // 2)
+                h = F.leaky_relu(h, 0.1)
+                h = F.conv1d(h, s[f"resblocks.{r}.convs2.{di}.weight"],
+                             s[f"resblocks.{r}.convs2.{di}.bias"],
+                             padding=(rk - 1) // 2)
+                y = y + h
+            acc = y if acc is None else acc + y
+        x = acc / len(RKS)
+    x = F.leaky_relu(x)  # default slope 0.01
+    x = F.conv1d(x, s["conv_post.weight"], s["conv_post.bias"], padding=3)
+    return torch.tanh(x)
+
+
+def test_generator_matches_torch_sample_exact():
+    rng = np.random.default_rng(0)
+    state = make_state(rng)
+    mel = rng.standard_normal((2, N_MELS, 17)).astype(np.float32)
+
+    golden = torch_forward(state, torch.tensor(mel)).detach().numpy()[:, 0, :]
+
+    gen = HiFiGANGenerator(
+        upsample_rates=UPS, upsample_kernel_sizes=UPK,
+        upsample_initial_channel=CH0, resblock_kernel_sizes=RKS,
+        resblock_dilations=RDS, n_mels=N_MELS)
+    params = {"params": convert_torch_state_dict(
+        {k: v.numpy() for k, v in state.items()},
+        upsample_rates=UPS, resblock_kernel_sizes=RKS, resblock_dilations=RDS)}
+    ours = np.asarray(gen.apply(params, jnp.asarray(mel.transpose(0, 2, 1))))
+
+    assert ours.shape == golden.shape == (2, 17 * 256)
+    np.testing.assert_allclose(ours, golden, atol=2e-5)
+
+
+def test_weight_norm_folding():
+    """A weight-normed conv must fold to the same result as a plain one."""
+    rng = np.random.default_rng(1)
+    w = torch.tensor(rng.standard_normal((4, 3, 5)).astype(np.float32))
+    g = torch.tensor(rng.uniform(0.5, 2.0, (4, 1, 1)).astype(np.float32))
+    state_v = {"c.weight_g": g, "c.weight_v": w,
+               "c.bias": torch.zeros(4)}
+    from visual_onoma_to_wave_tpu.models.hifigan import _fold_weight_norm
+    folded = _fold_weight_norm({k: v.numpy() for k, v in state_v.items()}, "c")
+    norm = torch.sqrt((w ** 2).sum(dim=(1, 2), keepdim=True))
+    expected = (g * w / norm).numpy()
+    np.testing.assert_allclose(folded, expected, rtol=1e-6)
+
+
+def test_vocoder_infer_lengths():
+    rng = np.random.default_rng(2)
+    state = make_state(rng)
+    gen_params = {"params": convert_torch_state_dict(
+        {k: v.numpy() for k, v in state.items()},
+        upsample_rates=UPS, resblock_kernel_sizes=RKS, resblock_dilations=RDS)}
+    mel = jnp.asarray(rng.standard_normal((2, 10, N_MELS)).astype(np.float32))
+    # vocoder_infer jits the default-config generator; apply directly here
+    gen = HiFiGANGenerator(
+        upsample_rates=UPS, upsample_kernel_sizes=UPK,
+        upsample_initial_channel=CH0, resblock_kernel_sizes=RKS,
+        resblock_dilations=RDS, n_mels=N_MELS)
+    wav = np.asarray(gen.apply(gen_params, mel))
+    assert wav.shape == (2, 2560)
+    assert np.abs(wav).max() <= 1.0

@@ -1,0 +1,117 @@
+"""Training-step tests: schedule parity, tiny overfit, 1-vs-8-device equality."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from visual_onoma_to_wave_tpu.config import Config
+from visual_onoma_to_wave_tpu.models import VTTS
+from visual_onoma_to_wave_tpu.parallel import get_mesh, shard_batch
+from visual_onoma_to_wave_tpu.training import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+    noam_schedule,
+)
+
+
+def reference_lr_scale(step, warmup, anneal_steps, anneal_rate):
+    """Transcription of reference ScheduledOptim._get_lr_scale (optimizer.py:33-43)."""
+    lr = min(np.power(step, -0.5), np.power(warmup, -1.5) * step)
+    for s in anneal_steps:
+        if step > s:
+            lr *= anneal_rate
+    return lr
+
+
+def test_noam_schedule_matches_reference():
+    sched = noam_schedule(0.001, 4000, (300000, 400000, 500000), 0.3)
+    for optax_count in [0, 1, 10, 3999, 4000, 100000, 299999, 300000, 450000, 600000]:
+        # optax count c corresponds to reference current_step c+1 (pre-increment)
+        ref = 0.001 * reference_lr_scale(optax_count + 1, 4000, (300000, 400000, 500000), 0.3)
+        ours = float(sched(optax_count))
+        assert abs(ours - ref) / ref < 1e-5, (optax_count, ours, ref)
+
+
+def tiny_model_and_batch(use_image=False, batch=4, chars=4, mel_len=32):
+    cfg = Config()
+    model = VTTS(
+        n_vocab=10, n_audiotype=3, hidden=32, encoder_layers=1,
+        decoder_layers=1, n_head=2, d_inner=64, ffn_kernel=(3, 1),
+        max_seq_len=64, max_mel_len=mel_len, n_mels=16,
+        vfe_layers=1, is_energy=True, is_kurtosis=False,
+        energy_stats=(-2.0, 2.0, 0.0, 1.0),
+    )
+    rng = np.random.default_rng(0)
+    texts = rng.integers(1, 10, (batch, chars)).astype(np.int32)
+    durations = np.full((batch, chars), mel_len // chars, np.int32)
+    mels = rng.standard_normal((batch, mel_len, 16)).astype(np.float32)
+    b = {
+        "audiotypes": jnp.asarray(rng.integers(0, 3, batch).astype(np.int32)),
+        "texts": jnp.asarray(texts),
+        "src_lens": jnp.full((batch,), chars, jnp.int32),
+        "mels": jnp.asarray(mels),
+        "energies": jnp.asarray(rng.standard_normal((batch, chars)).astype(np.float32)),
+        "durations": jnp.asarray(durations),
+    }
+    if use_image:
+        b["image_cells"] = jnp.asarray(
+            rng.uniform(0, 1, (batch, chars, 8, 16)).astype(np.float32))
+    return model, b
+
+
+def test_tiny_overfit_loss_decreases():
+    model, batch = tiny_model_and_batch()
+    tx = make_optimizer(init_lr=1e-2, warmup_steps=10, grad_clip=1.0)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch, use_image=False)
+    step_fn = make_train_step(model, tx, use_image=False)
+    rng = jax.random.PRNGKey(42)
+    first = None
+    for i in range(60):
+        state, losses = step_fn(state, batch, rng)
+        if first is None:
+            first = float(losses["total_loss"])
+    last = float(losses["total_loss"])
+    assert np.isfinite(last)
+    assert last < first * 0.7, (first, last)
+
+
+def test_data_parallel_equals_single_device():
+    """Same batch, same init: loss after 3 steps must match between a
+    1-device run and an 8-device sharded run (the JAX analog of a
+    fake-backend distributed test; SURVEY.md §4f)."""
+    model, batch = tiny_model_and_batch(batch=8)
+    tx = make_optimizer(init_lr=1e-3, warmup_steps=10)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch, use_image=False)
+    step_fn = make_train_step(model, tx, use_image=False)
+    rng = jax.random.PRNGKey(7)
+
+    # single device
+    s1 = state
+    for _ in range(3):
+        s1, l1 = step_fn(s1, batch, rng)
+
+    # 8-device mesh: params replicated implicitly, batch sharded
+    mesh = get_mesh(8)
+    assert mesh.size == 8
+    sharded = shard_batch(batch, mesh)
+    s8 = state
+    for _ in range(3):
+        s8, l8 = step_fn(s8, sharded, rng)
+
+    # dropout RNG is per-step (not per-shard), so results are identical
+    np.testing.assert_allclose(
+        float(l1["total_loss"]), float(l8["total_loss"]), rtol=1e-4)
+    p1 = jax.tree.leaves(s1.params)[0]
+    p8 = jax.tree.leaves(s8.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), rtol=1e-4, atol=1e-6)
+
+
+def test_grad_clip_bounds_update():
+    model, batch = tiny_model_and_batch()
+    tx = make_optimizer(init_lr=1.0, warmup_steps=1, grad_clip=0.5)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch, use_image=False)
+    step_fn = make_train_step(model, tx, use_image=False)
+    state, losses = step_fn(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses["grad_norm"]))

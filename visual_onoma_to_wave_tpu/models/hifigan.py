@@ -1,0 +1,211 @@
+"""HiFi-GAN V1 "universal" generator (inference) in JAX/flax.
+
+Re-design of reference scripts/hifigan/models.py (Generator + ResBlock,
+config at scripts/hifigan/config.json): 256x upsampling via 4 transposed
+convs (rates 8,8,2,2 / kernels 16,16,4,4) each followed by a 3-branch
+multi-receptive-field (MRF) fusion of dilated residual blocks
+(kernels 3/7/11, dilations (1,3,5)).
+
+Exact-parity notes:
+  * ConvTranspose1d(stride=u, padding=(k-u)//2) in torch gives output length
+    exactly T*u. We implement it as an lhs-dilated conv with padding
+    k-1-(k-u)//2 and a flipped kernel — bit-exact semantics, and XLA lowers
+    it onto the MXU as a strided matmul.
+  * leaky_relu slope is 0.1 inside the network but torch's default 0.01
+    before conv_post (reference models.py:161 `F.leaky_relu(x)`).
+  * weight-norm is folded at weight-conversion time (the reference calls
+    remove_weight_norm at load; utils/model.py:67).
+
+`load_torch_generator` converts the published PyTorch checkpoint
+(generator_universal.pth.tar) into this module's parameter pytree.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LRELU_SLOPE = 0.1
+
+
+def _conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None,
+            dilation: int = 1, stride: int = 1) -> jnp.ndarray:
+    """1-D conv, feature-last. x: (B, T, Cin); w: (K, Cin, Cout); SAME-style
+    torch padding dilation*(k-1)//2."""
+    k = w.shape[0]
+    pad = dilation * (k - 1) // 2
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=[(pad, pad)],
+        rhs_dilation=(dilation,), dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    return out + b if b is not None else out
+
+
+def _conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None,
+                      stride: int, torch_padding: int) -> jnp.ndarray:
+    """torch ConvTranspose1d semantics. x: (B, T, Cin); w: (K, Cin, Cout)
+    ALREADY flipped relative to torch layout (see load_torch_generator).
+    Output length = (T-1)*stride - 2*torch_padding + K."""
+    k = w.shape[0]
+    pad = k - 1 - torch_padding
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=[(pad, pad)],
+        lhs_dilation=(stride,), dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    return out + b if b is not None else out
+
+
+class ResBlock1(nn.Module):
+    """MRF residual block: 3x [lrelu -> dilated conv -> lrelu -> conv d=1 -> +x]."""
+
+    channels: int
+    kernel_size: int
+    dilations: tuple[int, ...] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilations):
+            w1 = self.param(f"convs1_{i}_w", nn.initializers.normal(0.01),
+                            (self.kernel_size, self.channels, self.channels))
+            b1 = self.param(f"convs1_{i}_b", nn.initializers.zeros, (self.channels,))
+            w2 = self.param(f"convs2_{i}_w", nn.initializers.normal(0.01),
+                            (self.kernel_size, self.channels, self.channels))
+            b2 = self.param(f"convs2_{i}_b", nn.initializers.zeros, (self.channels,))
+            h = nn.leaky_relu(x, LRELU_SLOPE)
+            h = _conv1d(h, w1, b1, dilation=d)
+            h = nn.leaky_relu(h, LRELU_SLOPE)
+            h = _conv1d(h, w2, b2, dilation=1)
+            x = x + h
+        return x
+
+
+class HiFiGANGenerator(nn.Module):
+    """Mel (B, T, 80) -> waveform (B, T*256)."""
+
+    upsample_rates: tuple[int, ...] = (8, 8, 2, 2)
+    upsample_kernel_sizes: tuple[int, ...] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: tuple[int, ...] = (3, 7, 11)
+    resblock_dilations: tuple[tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    n_mels: int = 80
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        ch0 = self.upsample_initial_channel
+        w = self.param("conv_pre_w", nn.initializers.normal(0.01), (7, self.n_mels, ch0))
+        b = self.param("conv_pre_b", nn.initializers.zeros, (ch0,))
+        x = _conv1d(mel, w, b)
+
+        n_kernels = len(self.resblock_kernel_sizes)
+        for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
+            cin = ch0 // (2 ** i)
+            cout = ch0 // (2 ** (i + 1))
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            wt = self.param(f"up_{i}_w", nn.initializers.normal(0.01), (k, cin, cout))
+            bt = self.param(f"up_{i}_b", nn.initializers.zeros, (cout,))
+            x = _conv_transpose1d(x, wt, bt, stride=u, torch_padding=(k - u) // 2)
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(self.resblock_kernel_sizes, self.resblock_dilations)
+            ):
+                y = ResBlock1(cout, rk, tuple(rd), name=f"resblock_{i}_{j}")(x)
+                acc = y if acc is None else acc + y
+            x = acc / n_kernels
+
+        x = nn.leaky_relu(x, 0.01)  # torch F.leaky_relu default slope
+        ch_last = ch0 // (2 ** len(self.upsample_rates))
+        w = self.param("conv_post_w", nn.initializers.normal(0.01), (7, ch_last, 1))
+        b = self.param("conv_post_b", nn.initializers.zeros, (1,))
+        x = _conv1d(x, w, b)
+        return jnp.tanh(x)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Torch checkpoint conversion
+# ---------------------------------------------------------------------------
+
+def _fold_weight_norm(state: dict, prefix: str) -> np.ndarray:
+    """Fold weight_g/weight_v into a plain weight (what remove_weight_norm does)."""
+    if f"{prefix}.weight" in state:
+        return np.asarray(state[f"{prefix}.weight"], dtype=np.float32)
+    g = np.asarray(state[f"{prefix}.weight_g"], dtype=np.float32)
+    v = np.asarray(state[f"{prefix}.weight_v"], dtype=np.float32)
+    norm = np.sqrt((v ** 2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
+    return g * v / norm
+
+
+def _t_conv(state: dict, prefix: str):
+    """torch Conv1d weight (Cout, Cin, K) -> HIO (K, Cin, Cout)."""
+    w = _fold_weight_norm(state, prefix).transpose(2, 1, 0)
+    b = np.asarray(state[f"{prefix}.bias"], dtype=np.float32)
+    return w, b
+
+
+def _t_convtr(state: dict, prefix: str):
+    """torch ConvTranspose1d weight (Cin, Cout, K) -> flipped HIO (K, Cin, Cout)."""
+    w = _fold_weight_norm(state, prefix)          # (Cin, Cout, K)
+    w = w[:, :, ::-1].transpose(2, 0, 1).copy()   # flip K, -> (K, Cin, Cout)
+    b = np.asarray(state[f"{prefix}.bias"], dtype=np.float32)
+    return w, b
+
+
+def convert_torch_state_dict(
+    state: dict,
+    upsample_rates=(8, 8, 2, 2),
+    resblock_kernel_sizes=(3, 7, 11),
+    resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+) -> dict:
+    """Map a torch HiFi-GAN generator state_dict (reference layout:
+    conv_pre / ups.N / resblocks.M.convs{1,2}.J / conv_post) to this module's
+    parameter pytree."""
+    params: dict = {}
+    w, b = _t_conv(state, "conv_pre")
+    params["conv_pre_w"], params["conv_pre_b"] = w, b
+    n_kernels = len(resblock_kernel_sizes)
+    for i in range(len(upsample_rates)):
+        w, b = _t_convtr(state, f"ups.{i}")
+        params[f"up_{i}_w"], params[f"up_{i}_b"] = w, b
+        for j in range(n_kernels):
+            r = i * n_kernels + j
+            block: dict = {}
+            for di in range(len(resblock_dilations[j])):
+                w1, b1 = _t_conv(state, f"resblocks.{r}.convs1.{di}")
+                w2, b2 = _t_conv(state, f"resblocks.{r}.convs2.{di}")
+                block[f"convs1_{di}_w"], block[f"convs1_{di}_b"] = w1, b1
+                block[f"convs2_{di}_w"], block[f"convs2_{di}_b"] = w2, b2
+            params[f"resblock_{i}_{j}"] = block
+    w, b = _t_conv(state, "conv_post")
+    params["conv_post_w"], params["conv_post_b"] = w, b
+    return jax.tree.map(jnp.asarray, params)
+
+
+def load_torch_generator(ckpt_path: str) -> dict:
+    """Load the published generator_universal.pth.tar into a params pytree."""
+    import torch
+
+    obj = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    state = obj["generator"] if "generator" in obj else obj
+    state = {k: v.numpy() for k, v in state.items()}
+    return {"params": convert_torch_state_dict(state)}
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _infer(params, mel):
+    return HiFiGANGenerator().apply(params, mel)
+
+
+def vocoder_infer(params, mels: jnp.ndarray, lengths=None,
+                  hop_length: int = 256):
+    """Batched mel -> waveform (reference utils/model.py:73-98 semantics,
+    Normalize=False path). mels: (B, T, n_mels); returns (B, T*hop) and the
+    per-item sample lengths (mel_lens * hop)."""
+    wavs = _infer(params, mels)
+    if lengths is not None:
+        sample_lens = np.asarray(lengths) * hop_length
+    else:
+        sample_lens = np.full((mels.shape[0],), wavs.shape[1])
+    return wavs, sample_lens

@@ -1,0 +1,175 @@
+"""Core acoustic-model layers: FFT block, attention, conv-FFN, PostNet, predictors.
+
+TPU-first re-design of the reference transformer stack
+(reference scripts/transformer/{Layers,SubLayers,Modules}.py and
+scripts/model/modules.py:161-213). Differences from the reference that are
+deliberate TPU idioms, not behavior changes:
+
+  * attention is a single batched einsum chain (B, H, T, T) instead of the
+    reference's head-folded bmm loop (SubLayers.py:40-52) — identical math,
+    MXU-friendly layout;
+  * all sequence ops are static-shaped and masked; no data-dependent shapes
+    inside jit;
+  * conv-FFN / PostNet use feature-last nn.Conv, which XLA lowers to MXU
+    matmuls for kernel-size-1 and im2col for k>1.
+
+Semantics preserved exactly: post-LayerNorm residuals, mask-fill-zero after
+each FFT sub-block, -inf attention masking, dropout placement.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+def sinusoid_position_table(n_position: int, d_hid: int) -> np.ndarray:
+    """Fixed sinusoid position table (reference transformer/Models.py:13-33)."""
+    pos = np.arange(n_position, dtype=np.float64)[:, None]
+    dim = np.arange(d_hid, dtype=np.float64)[None, :]
+    angle = pos / np.power(10000.0, 2.0 * (dim // 2) / d_hid)
+    table = np.zeros((n_position, d_hid), dtype=np.float64)
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return table.astype(np.float32)
+
+
+class MultiHeadAttention(nn.Module):
+    """Post-LN multi-head self-attention (reference SubLayers.py:8-57)."""
+
+    n_head: int
+    d_model: int
+    d_k: int
+    d_v: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray, deterministic: bool):
+        # x: (B, T, D); attn_mask: (B, T, T) True = masked (padding)
+        B, T, _ = x.shape
+        residual = x
+        q = nn.Dense(self.n_head * self.d_k, name="w_qs")(x)
+        k = nn.Dense(self.n_head * self.d_k, name="w_ks")(x)
+        v = nn.Dense(self.n_head * self.d_v, name="w_vs")(x)
+        q = q.reshape(B, T, self.n_head, self.d_k).transpose(0, 2, 1, 3)
+        k = k.reshape(B, T, self.n_head, self.d_k).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, self.n_head, self.d_v).transpose(0, 2, 1, 3)
+
+        scale = 1.0 / jnp.sqrt(jnp.asarray(self.d_k, x.dtype))
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        attn = jnp.where(attn_mask[:, None, :, :], -jnp.inf, attn)
+        attn = nn.softmax(attn, axis=-1)
+        # fully-masked rows (padding queries) softmax to nan; zero them like
+        # the reference's post-block mask-fill makes them irrelevant anyway
+        attn = jnp.nan_to_num(attn)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, self.n_head * self.d_v)
+        out = nn.Dense(self.d_model, name="fc")(out)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        return nn.LayerNorm(name="layer_norm")(out + residual)
+
+
+class PositionwiseFeedForward(nn.Module):
+    """Conv1d FFN: k=9 expand -> ReLU -> k=1 project, post-LN
+    (reference SubLayers.py:60-93)."""
+
+    d_in: int
+    d_hid: int
+    kernel_size: tuple[int, int] = (9, 1)
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool):
+        residual = x
+        h = nn.Conv(self.d_hid, (self.kernel_size[0],), padding="SAME", name="w_1")(x)
+        h = nn.relu(h)
+        h = nn.Conv(self.d_in, (self.kernel_size[1],), padding="SAME", name="w_2")(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return nn.LayerNorm(name="layer_norm")(h + residual)
+
+
+class FFTBlock(nn.Module):
+    """Attention + conv-FFN block with post-sub-block zero masking
+    (reference Layers.py:11-30)."""
+
+    d_model: int
+    n_head: int
+    d_k: int
+    d_v: int
+    d_inner: int
+    kernel_size: tuple[int, int]
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, pad_mask, attn_mask, deterministic: bool):
+        # pad_mask: (B, T) True = padding; attn_mask: (B, T, T)
+        x = MultiHeadAttention(
+            self.n_head, self.d_model, self.d_k, self.d_v, self.dropout,
+            name="slf_attn",
+        )(x, attn_mask, deterministic)
+        x = jnp.where(pad_mask[:, :, None], 0.0, x)
+        x = PositionwiseFeedForward(
+            self.d_model, self.d_inner, self.kernel_size, self.dropout,
+            name="pos_ffn",
+        )(x, deterministic)
+        x = jnp.where(pad_mask[:, :, None], 0.0, x)
+        return x
+
+
+class VariancePredictor(nn.Module):
+    """Duration/energy/kurtosis predictor (reference model/modules.py:161-213).
+
+    Two [Conv1d k=3 -> ReLU -> LN -> Dropout] blocks + Linear->1, output
+    masked to 0 at padding positions.
+    """
+
+    filter_size: int = 256
+    kernel_size: int = 3
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray, deterministic: bool):
+        h = nn.Conv(self.filter_size, (self.kernel_size,), padding="SAME", name="conv1d_1")(x)
+        h = nn.relu(h)
+        h = nn.LayerNorm(name="layer_norm_1")(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(self.filter_size, (self.kernel_size,), padding="SAME", name="conv1d_2")(h)
+        h = nn.relu(h)
+        h = nn.LayerNorm(name="layer_norm_2")(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        out = nn.Dense(1, name="linear_layer")(h)[..., 0]
+        return jnp.where(pad_mask, 0.0, out)
+
+
+class PostNet(nn.Module):
+    """5-layer conv PostNet with BatchNorm + tanh (reference Layers.py:67-137).
+
+    Dropout 0.5 is applied after every layer including the last, matching the
+    reference forward.
+    """
+
+    n_mel_channels: int = 80
+    embedding_dim: int = 512
+    kernel_size: int = 5
+    n_convolutions: int = 5
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool):
+        # x: (B, T, n_mels)
+        h = x
+        for i in range(self.n_convolutions - 1):
+            h = nn.Conv(self.embedding_dim, (self.kernel_size,), padding="SAME",
+                        name=f"conv_{i}")(h)
+            h = nn.BatchNorm(use_running_average=deterministic,
+                             name=f"bn_{i}")(h)
+            h = jnp.tanh(h)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(self.n_mel_channels, (self.kernel_size,), padding="SAME",
+                    name=f"conv_{self.n_convolutions - 1}")(h)
+        h = nn.BatchNorm(use_running_average=deterministic,
+                         name=f"bn_{self.n_convolutions - 1}")(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return h

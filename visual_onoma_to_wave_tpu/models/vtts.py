@@ -1,0 +1,222 @@
+"""vTTS acoustic model: Encoder -> audiotype embedding -> VarianceAdaptor ->
+Decoder -> mel linear -> PostNet.
+
+TPU-first re-design of reference scripts/model/vtts.py and
+scripts/transformer/Models.py. Static-shaped throughout; train vs inference
+are two jit specializations (targets present / absent), matching the
+reference's dynamic branches without dynamic shapes.
+
+Sequence-length semantics preserved from reference Models.py:165-196:
+the decoder position table covers max_seq_len; if the (static) frame length
+exceeds it, a longer sinusoid table is materialized at trace time — the JAX
+equivalent of the reference's inference-time on-the-fly table.
+"""
+from __future__ import annotations
+
+from dataclasses import field
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from visual_onoma_to_wave_tpu.config import Config, DatasetMetadata
+from visual_onoma_to_wave_tpu.models.layers import (
+    FFTBlock,
+    PostNet,
+    sinusoid_position_table,
+)
+from visual_onoma_to_wave_tpu.models.variance_adaptor import VarianceAdaptor
+from visual_onoma_to_wave_tpu.models.vfe import VisualFeatureExtractor
+from visual_onoma_to_wave_tpu.ops.length_regulator import get_mask_from_lengths
+
+PAD_ID = 0  # reference transformer/Constants.py:1
+
+
+class FFTStack(nn.Module):
+    """A stack of FFT blocks with shared masking (encoder/decoder core)."""
+
+    n_layers: int
+    d_model: int
+    n_head: int
+    d_inner: int
+    kernel_size: tuple[int, int]
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, pad_mask, deterministic: bool):
+        attn_mask = jnp.broadcast_to(
+            pad_mask[:, None, :], (x.shape[0], x.shape[1], x.shape[1])
+        )
+        d_k = self.d_model // self.n_head
+        for i in range(self.n_layers):
+            x = FFTBlock(
+                self.d_model, self.n_head, d_k, d_k, self.d_inner,
+                self.kernel_size, self.dropout, name=f"layer_{i}",
+            )(x, pad_mask, attn_mask, deterministic)
+        return x
+
+
+class VTTS(nn.Module):
+    """Full acoustic model.
+
+    Construct via `VTTS.from_config(config, metadata, n_vocab)`.
+    """
+
+    n_vocab: int
+    n_audiotype: int
+    hidden: int = 256
+    encoder_layers: int = 4
+    decoder_layers: int = 6
+    n_head: int = 2
+    d_inner: int = 1024
+    ffn_kernel: tuple[int, int] = (9, 1)
+    encoder_dropout: float = 0.2
+    decoder_dropout: float = 0.2
+    max_seq_len: int = 1000
+    max_mel_len: int = 1000
+    n_mels: int = 80
+    # visual feature extractor
+    use_image_default: bool = True
+    vfe_kernel: tuple[int, int] = (3, 3)
+    vfe_layers: int = 3
+    # variance adaptor
+    n_bins: int = 256
+    vp_filter: int = 256
+    vp_kernel: int = 3
+    vp_dropout: float = 0.5
+    is_energy: bool = True
+    is_kurtosis: bool = False
+    energy_quantization: str = "linear"
+    kurtosis_quantization: str = "linear"
+    energy_stats: tuple[float, float, float, float] = (-1.0, 1.0, 0.0, 1.0)
+    kurtosis_stats: tuple[float, float, float, float] = (-1.0, 1.0, 0.0, 1.0)
+    multi_audiotype: bool = True
+
+    @classmethod
+    def from_config(cls, config: Config, metadata: Optional[DatasetMetadata] = None,
+                    n_vocab: int = 64, max_mel_len: Optional[int] = None) -> "VTTS":
+        m = config.model
+        t = m.transformer
+        kwargs = dict(
+            n_vocab=n_vocab,
+            n_audiotype=metadata.n_audiotype if metadata else 10,
+            hidden=t.encoder_hidden,
+            encoder_layers=t.encoder_layer,
+            decoder_layers=t.decoder_layer,
+            n_head=t.encoder_head,
+            d_inner=t.conv_filter_size,
+            ffn_kernel=tuple(t.conv_kernel_size),
+            encoder_dropout=t.encoder_dropout,
+            decoder_dropout=t.decoder_dropout,
+            max_seq_len=m.max_seq_len,
+            max_mel_len=max_mel_len or config.train.max_mel_len,
+            n_mels=config.audio.mel.n_mel_channels,
+            use_image_default=config.train.use_image,
+            vfe_kernel=tuple(m.visual_feature_extractor.conv_kernel_size),
+            vfe_layers=m.visual_feature_extractor.layer_num,
+            n_bins=m.variance_embedding.n_bins,
+            vp_filter=m.variance_predictor.filter_size,
+            vp_kernel=m.variance_predictor.kernel_size,
+            vp_dropout=m.variance_predictor.dropout,
+            is_energy=m.variance_embedding.is_energy_condition,
+            is_kurtosis=m.variance_embedding.is_kurtosis_condition,
+            energy_quantization=m.variance_embedding.energy_quantization,
+            kurtosis_quantization=m.variance_embedding.kurtosis_quantization,
+            multi_audiotype=m.multi_audiotype,
+        )
+        if metadata is not None:
+            kwargs["energy_stats"] = (
+                metadata.energy_stats.min, metadata.energy_stats.max,
+                metadata.energy_stats.mean, metadata.energy_stats.std)
+            kwargs["kurtosis_stats"] = (
+                metadata.kurtosis_stats.min, metadata.kurtosis_stats.max,
+                metadata.kurtosis_stats.mean, metadata.kurtosis_stats.std)
+        return cls(**kwargs)
+
+    def _position_table(self, length: int):
+        n = max(self.max_seq_len + 1, length)
+        return jnp.asarray(sinusoid_position_table(n, self.hidden))[:length]
+
+    @nn.compact
+    def __call__(
+        self,
+        audiotypes: jnp.ndarray,          # (B,)
+        texts: jnp.ndarray,               # (B, C) int32, 0-padded
+        src_lens: jnp.ndarray,            # (B,)
+        image_cells: Optional[jnp.ndarray] = None,   # (B, C, H, Wc) in [0,1]
+        energy_targets: Optional[jnp.ndarray] = None,
+        kurtosis_targets: Optional[jnp.ndarray] = None,
+        duration_targets: Optional[jnp.ndarray] = None,
+        use_image: bool = True,
+        e_control: float = 1.0,
+        d_control: float = 1.0,
+        deterministic: bool = True,
+    ):
+        B, C = texts.shape
+        src_pad_mask = get_mask_from_lengths(src_lens, C)
+
+        # ------------------------------ Encoder ---------------------------
+        if use_image:
+            assert image_cells is not None
+            emb = VisualFeatureExtractor(
+                embed_dim=self.hidden, kernel_size=self.vfe_kernel,
+                num_convolutions=self.vfe_layers, name="vfe",
+            )(image_cells, deterministic)
+        else:
+            emb = nn.Embed(self.n_vocab + 1, self.hidden, name="src_word_emb")(texts)
+        x = emb + self._position_table(C)[None, :, :]
+        x = FFTStack(
+            self.encoder_layers, self.hidden, self.n_head, self.d_inner,
+            self.ffn_kernel, self.encoder_dropout, name="encoder",
+        )(x, src_pad_mask, deterministic)
+
+        # --------------------- audiotype conditioning ---------------------
+        if self.multi_audiotype:
+            at = nn.Embed(self.n_audiotype, self.hidden, name="audiotype_emb")(audiotypes)
+            x = x + at[:, None, :]
+
+        # ------------------------- Variance adaptor -----------------------
+        (
+            x, e_pred, k_pred, log_d_pred, d_rounded, mel_len, mel_pad_mask,
+        ) = VarianceAdaptor(
+            hidden=self.hidden, n_bins=self.n_bins,
+            filter_size=self.vp_filter, kernel_size=self.vp_kernel,
+            dropout=self.vp_dropout,
+            is_energy=self.is_energy, is_kurtosis=self.is_kurtosis,
+            energy_quantization=self.energy_quantization,
+            kurtosis_quantization=self.kurtosis_quantization,
+            energy_stats=self.energy_stats, kurtosis_stats=self.kurtosis_stats,
+            max_mel_len=self.max_mel_len, name="variance_adaptor",
+        )(
+            x, src_pad_mask,
+            energy_target=energy_targets, kurtosis_target=kurtosis_targets,
+            duration_target=duration_targets,
+            e_control=e_control, d_control=d_control,
+            deterministic=deterministic,
+        )
+
+        # ------------------------------ Decoder ---------------------------
+        T = x.shape[1]
+        x = x + self._position_table(T)[None, :, :]
+        x = FFTStack(
+            self.decoder_layers, self.hidden, self.n_head, self.d_inner,
+            self.ffn_kernel, self.decoder_dropout, name="decoder",
+        )(x, mel_pad_mask, deterministic)
+
+        mel = nn.Dense(self.n_mels, name="mel_linear")(x)
+        postnet_mel = mel + PostNet(
+            n_mel_channels=self.n_mels, name="postnet",
+        )(mel, deterministic)
+
+        return {
+            "mel": mel,
+            "postnet_mel": postnet_mel,
+            "energy_pred": e_pred,
+            "kurtosis_pred": k_pred,
+            "log_duration_pred": log_d_pred,
+            "duration_rounded": d_rounded,
+            "src_pad_mask": src_pad_mask,
+            "mel_pad_mask": mel_pad_mask,
+            "src_lens": src_lens,
+            "mel_lens": mel_len,
+        }

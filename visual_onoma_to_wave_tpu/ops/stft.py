@@ -228,6 +228,82 @@ def char_level_energy(
     return jnp.where(d > 0, seg / jnp.where(d > 0, d, 1.0), 0.0).astype(jnp.float32)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "max_chars")
+)
+def clip_features(
+    prepadded_audio: jnp.ndarray,
+    durations: jnp.ndarray,
+    window: jnp.ndarray,
+    mel_fb: jnp.ndarray,
+    max_chars: int,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: int = 1024,
+):
+    """Fused preprocessing features for one (or a vmapped batch of) clip(s).
+
+    The magnitude spectrogram is computed ONCE and shared by the log-mel,
+    char-level energy and spectral-kurtosis branches — the reference computes
+    the STFT twice per clip (preprocessor.py:332 and :350).
+
+    prepadded_audio: (..., L) float32, already reflect-padded by n_fft//2 on
+        the host (so bucket zero-padding beyond the true length cannot
+        perturb the reflect region) and zero-padded to the bucket length.
+    durations: (..., max_chars) int32 zero-padded per-char frame counts.
+
+    Returns (logmel (..., M, T), char_energy (..., max_chars),
+             kurtosis (..., max_chars)) with T = (L - n_fft)//hop + 1;
+    frames beyond sum(durations) are garbage-by-construction and must be
+    truncated by the caller.
+    """
+    eps = 1e-8
+    audio = jnp.clip(prepadded_audio, -1.0, 1.0)
+    frames = frame_signal(audio, n_fft, hop_length) * window
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    mag = jnp.abs(spec).astype(jnp.float32).swapaxes(-1, -2)   # (..., F, T)
+
+    mel = jnp.einsum("...ft,fm->...mt", mag, mel_fb)
+    logmel = jnp.log(jnp.maximum(mel, 1.0e-5)).astype(jnp.float32)
+    frame_energy = jnp.sqrt(jnp.sum(mag * mag, axis=-2))        # (..., T)
+
+    power = mag * mag
+    n_freqs = power.shape[-2]
+    n_frames = power.shape[-1]
+
+    def per_clip(power_c, frame_energy_c, durations_c):
+        bounds = jnp.cumsum(durations_c)
+        frame_idx = jnp.arange(n_frames, dtype=jnp.int32)
+        char_of_frame = jnp.searchsorted(bounds, frame_idx, side="right")
+        char_of_frame = jnp.where(frame_idx < bounds[-1], char_of_frame, max_chars)
+
+        seg_e = jax.ops.segment_sum(frame_energy_c, char_of_frame,
+                                    num_segments=max_chars + 1)[:max_chars]
+        d = durations_c.astype(jnp.float32)
+        char_energy = jnp.where(d > 0, seg_e / jnp.where(d > 0, d, 1.0), 0.0)
+
+        p_sum_t = jnp.sum(power_c, axis=0)
+        logp_sum_t = jnp.sum(jnp.log(power_c + eps), axis=0)
+        seg_p = jax.ops.segment_sum(p_sum_t, char_of_frame,
+                                    num_segments=max_chars + 1)[:max_chars]
+        seg_logp = jax.ops.segment_sum(logp_sum_t, char_of_frame,
+                                       num_segments=max_chars + 1)[:max_chars]
+        counts = d * n_freqs
+        safe = counts > 0
+        denom = jnp.where(safe, counts, 1.0)
+        gamma = jnp.log(seg_p / denom + eps) - seg_logp / denom
+        eta = (3.0 - gamma + jnp.sqrt((gamma - 3.0) ** 2 + 24.0 * gamma)) / (12.0 * gamma)
+        kurt = (eta + 2.0) * (eta + 3.0) / (eta * (eta + 1.0) + eps)
+        kurt = jnp.where(safe, kurt, 0.0)
+        return char_energy.astype(jnp.float32), kurt.astype(jnp.float32)
+
+    if power.ndim == 2:
+        char_energy, kurt = per_clip(power, frame_energy, durations)
+    else:
+        char_energy, kurt = jax.vmap(per_clip)(power, frame_energy, durations)
+    return logmel, char_energy, kurt
+
+
 # ---------------------------------------------------------------------------
 # Griffin-Lim (legacy inverse path parity — reference audio/audio_processing.py:66-82)
 # ---------------------------------------------------------------------------
