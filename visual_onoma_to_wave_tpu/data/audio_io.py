@@ -51,7 +51,7 @@ def read_wav(path: str | pathlib.Path) -> tuple[np.ndarray, int]:
 def write_wav(path: str | pathlib.Path, audio: np.ndarray, sample_rate: int) -> None:
     """Write float32 [-1, 1] mono audio as 16-bit PCM wav."""
     audio = np.clip(np.asarray(audio, dtype=np.float64), -1.0, 1.0)
-    pcm = (audio * 32767.0).astype("<i2")
+    pcm = np.round(audio * 32767.0).astype("<i2")
     with wave.open(str(path), "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)

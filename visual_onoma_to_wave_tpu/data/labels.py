@@ -14,7 +14,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-SILENCE_LABELS = ("sil", "sp", "spn", "silB", "silE", "")
+SILENCE_LABELS = ("sil", "sp", "spn", "silB", "silE", "silb", "sile", "")
 
 
 @dataclass
@@ -41,7 +41,8 @@ def split_lab_segments(lines: list[str]) -> tuple[list[Interval], int]:
             continue
         t0, t1 = float(parts[0]), float(parts[1])
         label = _normalize_label(parts[2].replace("\n", ""))
-        if label == "sil":
+        # Julius emits sil / silB / silE; keep silence tokens whole
+        if label in ("sil", "silb", "sile", "sp"):
             segments.append(Interval(t0, t1, label))
             continue
         chars = list(label)
@@ -96,7 +97,7 @@ def write_textgrid(segments: list[Interval], path: str | pathlib.Path,
         f"        intervals: size = {len(segments)} ",
     ]
     for i, seg in enumerate(segments):
-        text = "" if seg.text in ("silB", "silE") else seg.text
+        text = "" if seg.text in ("silB", "silE", "silb", "sile") else seg.text
         out += [
             f"        intervals [{i + 1}]:",
             f"            xmin = {seg.start} ",

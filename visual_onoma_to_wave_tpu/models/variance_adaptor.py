@@ -83,7 +83,10 @@ class VarianceAdaptor(nn.Module):
         e_control: float = 1.0,
         d_control: float = 1.0,
         deterministic: bool = True,
+        max_mel_len: int | None = None,  # static output frame length
     ):
+        if max_mel_len is None:
+            max_mel_len = self.max_mel_len
         log_duration_prediction = self.duration_predictor(x, src_pad_mask, deterministic)
 
         energy_prediction = None
@@ -111,8 +114,8 @@ class VarianceAdaptor(nn.Module):
             )
             duration_rounded = jnp.where(src_pad_mask, 0.0, duration_rounded)
         x, mel_len = length_regulate(
-            x, duration_rounded.astype(jnp.int32), self.max_mel_len)
-        mel_pad_mask = get_mask_from_lengths(mel_len, self.max_mel_len)
+            x, duration_rounded.astype(jnp.int32), max_mel_len)
+        mel_pad_mask = get_mask_from_lengths(mel_len, max_mel_len)
 
         return (
             x,

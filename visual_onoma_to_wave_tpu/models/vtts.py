@@ -151,6 +151,7 @@ class VTTS(nn.Module):
         e_control: float = 1.0,
         d_control: float = 1.0,
         deterministic: bool = True,
+        max_mel_len: int | None = None,
     ):
         B, C = texts.shape
         src_pad_mask = get_mask_from_lengths(src_lens, C)
@@ -193,6 +194,7 @@ class VTTS(nn.Module):
             duration_target=duration_targets,
             e_control=e_control, d_control=d_control,
             deterministic=deterministic,
+            max_mel_len=max_mel_len,
         )
 
         # ------------------------------ Decoder ---------------------------

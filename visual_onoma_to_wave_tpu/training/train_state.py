@@ -70,6 +70,7 @@ def make_train_step(model, tx: optax.GradientTransformation,
             duration_targets=batch["durations"],
             use_image=use_image,
             deterministic=False,
+            max_mel_len=batch["mels"].shape[1],
             rngs={"dropout": dropout_rng},
             mutable=["batch_stats"],
         )
@@ -109,6 +110,7 @@ def make_eval_step(model, use_image: bool = True) -> Callable:
             duration_targets=batch["durations"],
             use_image=use_image,
             deterministic=True,
+            max_mel_len=batch["mels"].shape[1],
         )
         losses = fastspeech2_loss(outputs, batch)
         return losses, outputs
