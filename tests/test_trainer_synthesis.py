@@ -1,0 +1,136 @@
+"""Trainer orchestration, checkpoint/resume, and synthesis API tests on a
+tiny synthetic preprocessed corpus."""
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from visual_onoma_to_wave_tpu.config import Config, DatasetMetadata, FeatureStats
+
+
+def make_preprocessed(root: pathlib.Path, n_clips=8, n_mels=80, height=24,
+                      cell_width=30):
+    """Write a minimal preprocessed directory with consistent artifacts."""
+    rng = np.random.default_rng(0)
+    label = "drum"
+    for d in ("mel", "duration", "energy", "kurtosis"):
+        (root / d / label).mkdir(parents=True)
+    (root / "image" / "png" / label).mkdir(parents=True)
+    (root / "image" / "width" / label).mkdir(parents=True)
+    rows_train, rows_val = [], []
+    from PIL import Image
+    for i in range(n_clips):
+        text = "パン" * (1 + i % 2)
+        C = len(text)
+        dur = rng.integers(8, 20, C).astype(np.int32)
+        T = int(dur.sum())
+        name = f"f_24pt_c1-drum-{i:03d}-x"
+        np.save(root / "mel" / label / f"{name}.npy",
+                rng.standard_normal((T, n_mels)).astype(np.float32))
+        np.save(root / "duration" / label / f"{name}.npy", dur)
+        np.save(root / "energy" / label / f"{name}.npy",
+                rng.standard_normal(C).astype(np.float32))
+        np.save(root / "kurtosis" / label / f"{name}.npy",
+                rng.standard_normal(C).astype(np.float32))
+        widths = np.full(C, cell_width // 2, np.int32)
+        np.save(root / "image" / "width" / label / f"{name}.npy", widths)
+        img = Image.fromarray(
+            rng.integers(0, 255, (height, int(widths.sum())), np.uint8))
+        img.save(root / "image" / "png" / label / f"{name}.png")
+        row = f"{name}|{label}|24|f|{text}"
+        (rows_train if i % 4 else rows_val).append(row)
+    (root / "train.txt").write_text("\n".join(rows_train) + "\n")
+    (root / "val.txt").write_text("\n".join(rows_val) + "\n")
+    (root / "test.txt").write_text("")
+    meta = DatasetMetadata(
+        audiotype_map={label: 0},
+        energy_stats=FeatureStats(-2, 2, 0, 1),
+        kurtosis_stats=FeatureStats(-2, 2, 0, 1),
+        max_pixelsize=cell_width, image_height=height,
+        label_width={label: (4.0, 30.0, 10.0)})
+    meta.save(root)
+    return meta
+
+
+@pytest.fixture(scope="module")
+def tiny_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pre")
+    meta = make_preprocessed(root)
+    out = tmp_path_factory.mktemp("out")
+    cfg = Config()
+    cfg = cfg.replace(
+        path=cfg.path.__class__(
+            preprocessed=str(root), ckpt=str(out / "ckpt"),
+            log=str(out / "log"), result=str(out / "result"), font=""),
+        model=cfg.model.__class__(
+            transformer=cfg.model.transformer.__class__(
+                encoder_layer=1, decoder_layer=1, encoder_hidden=32,
+                decoder_hidden=32, conv_filter_size=64,
+                conv_kernel_size=(3, 1)),
+            visual_feature_extractor=cfg.model.visual_feature_extractor.__class__(
+                layer_num=1),
+            max_seq_len=256),
+        train=cfg.train.__class__(
+            optimizer=cfg.train.optimizer.__class__(batch_size=2,
+                                                    warm_up_step=10),
+            step=cfg.train.step.__class__(
+                total_step=6, log_step=2, synth_step=3, val_step=3,
+                save_step=5),
+            max_mel_len=256, seed=0))
+    return cfg
+
+
+def test_trainer_runs_and_checkpoints(tiny_env):
+    from visual_onoma_to_wave_tpu.training.trainer import Trainer
+
+    trainer = Trainer(tiny_env, use_mesh=False)
+    state = trainer.train()
+    assert int(state.step) >= 6
+    # checkpoints written at save_step and at end
+    steps = trainer.ckpt.all_steps()
+    assert 5 in steps and int(state.step) in steps
+    # metrics.jsonl has rows
+    lines = (pathlib.Path(tiny_env.path.log) / "train" / "metrics.jsonl"
+             ).read_text().splitlines()
+    assert len(lines) >= 2
+    rec = json.loads(lines[-1])
+    assert "total_loss" in rec and np.isfinite(rec["total_loss"])
+    trainer.ckpt.close()
+
+
+def test_trainer_resume(tiny_env):
+    from visual_onoma_to_wave_tpu.training.trainer import Trainer
+
+    t2 = Trainer(tiny_env, restore_step=5, use_mesh=False)
+    assert int(t2.state.step) == 5
+    val = t2.evaluate()
+    assert np.isfinite(val["total_loss"])
+    t2.ckpt.close()
+
+
+def test_synthesizer_end_to_end(tiny_env):
+    import jax.numpy as jnp
+    from visual_onoma_to_wave_tpu.models.hifigan import HiFiGANGenerator
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+    from visual_onoma_to_wave_tpu.training.trainer import Trainer
+
+    trainer = Trainer(tiny_env, use_mesh=False)
+    gen = HiFiGANGenerator(upsample_initial_channel=32)
+    gp = gen.init(__import__("jax").random.PRNGKey(0),
+                  jnp.zeros((1, 8, 80), jnp.float32))
+
+    synth = Synthesizer(tiny_env, trainer.model, trainer.state,
+                        trainer.metadata, trainer.train_ds.symbol_map, gp,
+                        vocoder=gen)
+    res = synth.synthesize("パンパン", "drum", width_rates=[1.0, 0.5, 1.0, 0.5])
+    assert res.mel.shape[1] == 80
+    assert res.durations.shape == (4,)
+    assert res.image is not None and res.image.shape[0] == 24
+    if res.wav is not None:
+        assert res.wav.shape[0] == res.mel.shape[0] * 256
+        assert np.isfinite(res.wav).all()
+    # duration control halves the length (approximately, via rounding)
+    res_fast = synth.synthesize("パンパン", "drum", d_control=0.5)
+    assert res_fast.mel.shape[0] <= res.mel.shape[0] + 1
+    trainer.ckpt.close()

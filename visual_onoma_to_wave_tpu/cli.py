@@ -1,0 +1,193 @@
+"""Command-line interface: the reference's numbered scripts as subcommands.
+
+    python -m visual_onoma_to_wave_tpu.cli format      <config> <audio_dir>
+    python -m visual_onoma_to_wave_tpu.cli prepare-tg  <config>
+    python -m visual_onoma_to_wave_tpu.cli preprocess  <config>
+    python -m visual_onoma_to_wave_tpu.cli train       <config> [--restore-step N] [--max-steps N]
+    python -m visual_onoma_to_wave_tpu.cli evaluate    <config> [--restore-step N]
+    python -m visual_onoma_to_wave_tpu.cli synthesize  <config> --text ... --audiotype ... [--out out.wav]
+    python -m visual_onoma_to_wave_tpu.cli convert-vocoder <torch_ckpt> <out_dir>
+
+<config> is either a single JSON/YAML file of the unified schema or a
+directory holding the reference-style preprocess.yaml/model.yaml/train.yaml
+triple (reference scripts/01_format.py:112-125, 04_train.py:177-205).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+
+def load_config(path: str):
+    from visual_onoma_to_wave_tpu.config import (
+        Config, config_from_dict, load_yaml_configs)
+
+    p = pathlib.Path(path)
+    if p.is_dir():
+        pre = p / "preprocess.yaml"
+        mod = p / "model.yaml"
+        tra = p / "train.yaml"
+        return load_yaml_configs(
+            str(pre) if pre.exists() else None,
+            str(mod) if mod.exists() else None,
+            str(tra) if tra.exists() else None,
+        )
+    if p.suffix == ".json":
+        with open(p) as f:
+            return config_from_dict(json.load(f))
+    if p.suffix in (".yaml", ".yml"):
+        import yaml
+        with open(p) as f:
+            return config_from_dict(yaml.safe_load(f))
+    raise SystemExit(f"unsupported config path {path}")
+
+
+def cmd_format(args):
+    from visual_onoma_to_wave_tpu.data.formatting import format_dataset
+    cfg = load_config(args.config)
+    counts = format_dataset(cfg, args.audio_dir)
+    print(json.dumps(counts))
+
+
+def cmd_prepare_tg(args):
+    from visual_onoma_to_wave_tpu.data.labels import prepare_textgrids
+    cfg = load_config(args.config)
+    stats = prepare_textgrids(cfg.path.formatted,
+                              list(cfg.dataset.extract_labels) or None)
+    print(json.dumps(stats))
+
+
+def cmd_preprocess(args):
+    from visual_onoma_to_wave_tpu.data.preprocess import Preprocessor
+    cfg = load_config(args.config)
+    result = Preprocessor(cfg).build()
+    print(json.dumps(result))
+
+
+def cmd_train(args):
+    from visual_onoma_to_wave_tpu.training.trainer import Trainer
+    cfg = load_config(args.config)
+    vocoder_params = None
+    if args.vocoder:
+        from visual_onoma_to_wave_tpu.utils.checkpoint import load_params
+        vocoder_params = load_params(args.vocoder)
+    trainer = Trainer(cfg, restore_step=args.restore_step,
+                      vocoder_params=vocoder_params)
+    trainer.train(max_steps=args.max_steps)
+
+
+def cmd_evaluate(args):
+    from visual_onoma_to_wave_tpu.training.trainer import Trainer
+    cfg = load_config(args.config)
+    trainer = Trainer(cfg, restore_step=args.restore_step)
+    losses = trainer.evaluate()
+    print(json.dumps(losses))
+
+
+def cmd_synthesize(args):
+    import jax
+    from visual_onoma_to_wave_tpu.config import DatasetMetadata
+    from visual_onoma_to_wave_tpu.data.audio_io import write_wav
+    from visual_onoma_to_wave_tpu.data.symbols import build_symbol_map
+    from visual_onoma_to_wave_tpu.models import VTTS
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+    from visual_onoma_to_wave_tpu.training.schedule import make_optimizer
+    from visual_onoma_to_wave_tpu.training.trainer import Trainer
+    from visual_onoma_to_wave_tpu.utils.checkpoint import CheckpointManager, load_params
+
+    cfg = load_config(args.config)
+    restore = args.restore_step if args.restore_step is not None else -1
+    trainer = Trainer(cfg, restore_step=restore, use_mesh=False)
+    vocoder_params = load_params(args.vocoder) if args.vocoder else None
+    synth = Synthesizer(cfg, trainer.model, trainer.state, trainer.metadata,
+                        trainer.train_ds.symbol_map, vocoder_params)
+    rates = ([float(x) for x in args.width_rates.split(",")]
+             if args.width_rates else None)
+    result = synth.synthesize(args.text, args.audiotype, width_rates=rates,
+                              e_control=args.e_control, d_control=args.d_control)
+    print(f"mel frames: {result.mel.shape[0]}, durations: {result.durations.tolist()}")
+    if result.wav is not None and args.out:
+        write_wav(args.out, result.wav, cfg.audio.sampling_rate)
+        print(f"wrote {args.out}")
+
+
+def cmd_convert_vocoder(args):
+    from visual_onoma_to_wave_tpu.models.hifigan import load_torch_generator
+    from visual_onoma_to_wave_tpu.utils.checkpoint import save_params
+    params = load_torch_generator(args.torch_ckpt)
+    save_params(args.out_dir, params)
+    print(f"converted HiFi-GAN generator -> {args.out_dir}")
+
+
+def cmd_bench(args):
+    import runpy
+    sys.argv = ["bench.py"]
+    runpy.run_path(str(pathlib.Path(__file__).resolve().parents[1] / "bench.py"),
+                   run_name="__main__")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="visual-onoma-to-wave-tpu")
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu, tpu)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("format", help="format a raw corpus (01_format)")
+    s.add_argument("config")
+    s.add_argument("audio_dir")
+    s.set_defaults(fn=cmd_format)
+
+    s = sub.add_parser("prepare-tg", help="lab -> TextGrid (02_prepare_tg)")
+    s.add_argument("config")
+    s.set_defaults(fn=cmd_prepare_tg)
+
+    s = sub.add_parser("preprocess", help="feature extraction (03_preprocess)")
+    s.add_argument("config")
+    s.set_defaults(fn=cmd_preprocess)
+
+    s = sub.add_parser("train", help="train the acoustic model (04_train)")
+    s.add_argument("config")
+    s.add_argument("--restore-step", type=int, default=None)
+    s.add_argument("--max-steps", type=int, default=None)
+    s.add_argument("--vocoder", default=None,
+                   help="converted vocoder params dir for synth samples")
+    s.set_defaults(fn=cmd_train)
+
+    s = sub.add_parser("evaluate", help="validation losses (evaluate.py)")
+    s.add_argument("config")
+    s.add_argument("--restore-step", type=int, default=None)
+    s.set_defaults(fn=cmd_evaluate)
+
+    s = sub.add_parser("synthesize", help="text -> wav (prediction.ipynb)")
+    s.add_argument("config")
+    s.add_argument("--text", required=True)
+    s.add_argument("--audiotype", required=True)
+    s.add_argument("--width-rates", default=None,
+                   help="comma-separated per-char width rates")
+    s.add_argument("--e-control", type=float, default=1.0)
+    s.add_argument("--d-control", type=float, default=1.0)
+    s.add_argument("--restore-step", type=int, default=None)
+    s.add_argument("--vocoder", default=None)
+    s.add_argument("--out", default="out.wav")
+    s.set_defaults(fn=cmd_synthesize)
+
+    s = sub.add_parser("convert-vocoder",
+                       help="torch HiFi-GAN ckpt -> orbax params")
+    s.add_argument("torch_ckpt")
+    s.add_argument("out_dir")
+    s.set_defaults(fn=cmd_convert_vocoder)
+
+    s = sub.add_parser("bench", help="run the benchmark harness")
+    s.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

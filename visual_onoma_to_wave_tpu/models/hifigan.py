@@ -193,17 +193,19 @@ def load_torch_generator(ckpt_path: str) -> dict:
     return {"params": convert_torch_state_dict(state)}
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _infer(params, mel):
-    return HiFiGANGenerator().apply(params, mel)
+@functools.partial(jax.jit, static_argnames=("gen",))
+def _infer(gen, params, mel):
+    return gen.apply(params, mel)
 
 
 def vocoder_infer(params, mels: jnp.ndarray, lengths=None,
-                  hop_length: int = 256):
+                  hop_length: int = 256, gen: HiFiGANGenerator | None = None):
     """Batched mel -> waveform (reference utils/model.py:73-98 semantics,
     Normalize=False path). mels: (B, T, n_mels); returns (B, T*hop) and the
     per-item sample lengths (mel_lens * hop)."""
-    wavs = _infer(params, mels)
+    if gen is None:
+        gen = HiFiGANGenerator()
+    wavs = _infer(gen, params, mels)
     if lengths is not None:
         sample_lens = np.asarray(lengths) * hop_length
     else:

@@ -1,0 +1,193 @@
+"""Training orchestrator: the `04_train.py` equivalent.
+
+Reproduces the reference loop semantics (reference scripts/04_train.py:115-175):
+  * periodic scalar logging (log_step), validation (val_step), sample
+    synthesis (synth_step), checkpointing (save_step), stop at total_step;
+  * length-weighted validation losses over the full val split
+    (reference scripts/evaluate.py:17-105);
+  * resume from checkpoint restores params + optimizer state + schedule
+    position (reference --restore_step).
+
+TPU-native: one jit train step, batches sharded over the `data` mesh axis,
+device-side grad all-reduce by XLA; throughput (mel-frames/sec) tracked per
+step — the observability the reference lacks.
+"""
+from __future__ import annotations
+
+import pathlib
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from visual_onoma_to_wave_tpu.config import Config, DatasetMetadata
+from visual_onoma_to_wave_tpu.data.dataset import OnomaDataset
+from visual_onoma_to_wave_tpu.models import VTTS
+from visual_onoma_to_wave_tpu.parallel import get_mesh, shard_batch
+from visual_onoma_to_wave_tpu.training.schedule import make_optimizer
+from visual_onoma_to_wave_tpu.training.train_state import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_synth_step,
+    make_train_step,
+)
+from visual_onoma_to_wave_tpu.utils.checkpoint import CheckpointManager
+from visual_onoma_to_wave_tpu.utils.logging import MetricsLogger, StepTimer
+
+LOSS_KEYS = ("total_loss", "mel_loss", "postnet_mel_loss", "energy_loss",
+             "kurtosis_loss", "duration_loss")
+
+
+def _jit_batch(batch: dict) -> dict:
+    return {k: v for k, v in batch.items() if k not in ("names", "mel_lens")}
+
+
+class Trainer:
+    def __init__(self, config: Config, restore_step: Optional[int] = None,
+                 vocoder_params=None, use_mesh: bool = True):
+        self.config = config
+        self.metadata = DatasetMetadata.load(config.path.preprocessed)
+        self.train_ds = OnomaDataset("train.txt", config, sort=True,
+                                     drop_last=True, metadata=self.metadata)
+        self.val_ds = OnomaDataset("val.txt", config, sort=False,
+                                   drop_last=False, metadata=self.metadata)
+        self.model = VTTS.from_config(config, self.metadata,
+                                      n_vocab=self.train_ds.n_vocab)
+        opt = config.train.optimizer
+        self.tx = make_optimizer(
+            init_lr=opt.init_lr, warmup_steps=opt.warm_up_step,
+            anneal_steps=opt.anneal_steps, anneal_rate=opt.anneal_rate,
+            betas=opt.betas, eps=opt.eps, weight_decay=opt.weight_decay,
+            grad_clip=opt.grad_clip_thresh, grad_acc_steps=opt.grad_acc_step,
+        )
+        self.use_image = config.train.use_image
+        self.train_step = make_train_step(self.model, self.tx, self.use_image)
+        self.eval_step = make_eval_step(self.model, self.use_image)
+        self.synth_step = make_synth_step(self.model, self.use_image)
+
+        sample = _jit_batch(next(self.train_ds.batches(shuffle=False)))
+        self.state = create_train_state(
+            self.model, self.tx, jax.random.PRNGKey(config.train.seed),
+            sample, self.use_image)
+
+        self.mesh = get_mesh(config.train.data_parallel_devices) if use_mesh else None
+        self.ckpt = CheckpointManager(config.path.ckpt)
+        if restore_step == -1:  # -1 = latest available (extension over reference)
+            restore_step = self.ckpt.latest_step()
+        if restore_step is not None:
+            self.state = self.ckpt.restore(self.state, restore_step)
+        self.train_log = MetricsLogger(config.path.log, "train")
+        self.val_log = MetricsLogger(config.path.log, "val")
+        self.result_dir = pathlib.Path(config.path.result)
+        (self.result_dir / "Val").mkdir(parents=True, exist_ok=True)
+        self.vocoder_params = vocoder_params
+        self.timer = StepTimer()
+        self._rng = jax.random.PRNGKey(config.train.seed + 1)
+
+    # ------------------------------------------------------------------
+    def _place(self, batch: dict) -> dict:
+        if self.mesh is not None and self.mesh.size > 1 and \
+                batch["texts"].shape[0] % self.mesh.size == 0:
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    def n_params(self) -> int:
+        return int(sum(np.prod(p.shape) for p in jax.tree.leaves(self.state.params)))
+
+    # ------------------------------------------------------------------
+    def train(self, max_steps: Optional[int] = None,
+              on_step: Optional[Callable] = None) -> TrainState:
+        cfg = self.config.train
+        total = max_steps if max_steps is not None else cfg.step.total_step
+        step = int(self.state.step)
+        epoch = 0
+        print(f"training: {self.n_params()/1e6:.2f}M params, "
+              f"{len(self.train_ds)} clips, target {total} steps")
+        while step < total:
+            epoch += 1
+            for batch in self.train_ds.batches(
+                    group_size=4, seed=self.config.train.seed + epoch):
+                jb = self._place(_jit_batch(batch))
+                self.timer.start()
+                self.state, losses = self.train_step(self.state, jb, self._rng)
+                step = int(self.state.step)
+                if step % cfg.step.log_step == 0:
+                    # materialize after async dispatch
+                    losses = {k: float(v) for k, v in losses.items()}
+                    self.timer.stop(int(np.sum(batch["mel_lens"])))
+                    losses["frames_per_sec"] = self.timer.frames_per_sec
+                    self.train_log.scalars(step, losses)
+                    self.train_log.text(
+                        f"step {step} epoch {epoch} total {losses['total_loss']:.4f} "
+                        f"mel {losses['mel_loss']:.4f} fps {losses['frames_per_sec']:.0f}")
+                else:
+                    self.timer.stop(int(np.sum(batch["mel_lens"])))
+                if step % cfg.step.val_step == 0:
+                    val_losses = self.evaluate(step)
+                    self.val_log.scalars(step, val_losses)
+                if step % cfg.step.synth_step == 0:
+                    self._synth_sample(step)
+                if step % cfg.step.save_step == 0:
+                    self.ckpt.save(self.state)
+                if on_step is not None:
+                    on_step(step, losses if isinstance(losses, dict) else None)
+                if step >= total:
+                    break
+        self.ckpt.save(self.state)
+        return self.state
+
+    # ------------------------------------------------------------------
+    def evaluate(self, step: int | None = None) -> dict:
+        """Length-weighted mean losses over the full val split."""
+        sums = {k: 0.0 for k in LOSS_KEYS}
+        n = 0
+        for batch in self.val_ds.batches(group_size=1, shuffle=False):
+            jb = self._place(_jit_batch(batch))
+            losses, _ = self.eval_step(self.state, jb)
+            bs = batch["texts"].shape[0]
+            for k in LOSS_KEYS:
+                sums[k] += float(losses[k]) * bs
+            n += bs
+        means = {k: (v / n if n else float("nan")) for k, v in sums.items()}
+        if step is not None:
+            self.val_log.text(
+                f"validation step {step}: total {means['total_loss']:.4f}")
+        return means
+
+    # ------------------------------------------------------------------
+    def _synth_sample(self, step: int) -> None:
+        """Synthesize one val sample (predicted durations) + its teacher-forced
+        reconstruction, log audio/figures (reference utils/tools.py:180-241)."""
+        try:
+            batch = next(self.val_ds.batches(group_size=1, shuffle=True,
+                                             seed=step))
+        except StopIteration:
+            return
+        jb = _jit_batch(batch)
+        infer_in = {k: jb[k] for k in
+                    ("audiotypes", "texts", "src_lens") if k in jb}
+        if "image_cells" in jb:
+            infer_in["image_cells"] = jb["image_cells"]
+        out = self.synth_step(self.state, infer_in)
+        mel_pred = np.asarray(out["postnet_mel"][0])
+        mel_len = int(out["mel_lens"][0])
+        gt_len = int(batch["mel_lens"][0])
+        from visual_onoma_to_wave_tpu.utils.plotting import plot_mel
+        fig = plot_mel([
+            (mel_pred[:max(mel_len, 1)], f"synthesized (step {step})"),
+            (batch["mels"][0][:gt_len], "ground truth"),
+        ])
+        self.train_log.figure(step, "Synth/mel", fig)
+        if self.vocoder_params is not None:
+            from visual_onoma_to_wave_tpu.models.hifigan import vocoder_infer
+            import jax.numpy as jnp
+            wav, _ = vocoder_infer(
+                self.vocoder_params, jnp.asarray(mel_pred[None, :max(mel_len, 1)]))
+            wav_np = np.asarray(wav[0])
+            self.train_log.audio(step, "Synth/audio", wav_np,
+                                 self.config.audio.sampling_rate)
+            from visual_onoma_to_wave_tpu.data.audio_io import write_wav
+            name = batch["names"][0]
+            write_wav(self.result_dir / "Val" / f"{step}_{name}_synthesis.wav",
+                      np.clip(wav_np, -1, 1), self.config.audio.sampling_rate)
