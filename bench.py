@@ -44,33 +44,39 @@ def main():
     dur_bias = float(np.log(MAX_MEL / C))
 
     @jax.jit
-    def synth(params, batch_stats, gen_params, batch):
+    def synth(params, batch_stats, gen_params, batch, salt):
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
             audiotypes=batch["audiotypes"], texts=batch["texts"],
-            src_lens=batch["src_lens"], image_cells=batch["image_cells"],
+            src_lens=batch["src_lens"], image_cells=batch["image_cells"] + salt,
             use_image=True, deterministic=True)
         # shift predicted log-durations to a realistic operating point
         d = jnp.maximum(jnp.round(
             jnp.exp(out["log_duration_pred"] + dur_bias) - 1.0), 1.0)
-        from visual_onoma_to_wave_tpu.ops import length_regulate
         mel_len = jnp.minimum(jnp.sum(d.astype(jnp.int32), axis=-1), MAX_MEL)
         wav = gen.apply(gen_params, out["postnet_mel"])
-        return wav, mel_len
+        # tiny checksum: forces full execution but only a scalar crosses the
+        # host link.  block_until_ready() is a no-op on the tunneled platform,
+        # so all timing syncs MUST go through device_get of this value.
+        return jnp.sum(wav[:, ::4097]) + jnp.sum(mel_len), mel_len
 
     gen_params = gen.init(jax.random.PRNGKey(2),
                           jnp.zeros((1, 16, 80), jnp.float32))
 
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
-    # warmup / compile
-    wav, mel_len = synth(params, batch_stats, gen_params, batch)
-    wav.block_until_ready()
+    # warmup / compile (device_get = real sync)
+    for i in range(2):
+        chk, _ = synth(params, batch_stats, gen_params, batch,
+                       jnp.float32(0.01 * i))
+        float(jax.device_get(chk))
 
-    iters = 10
+    iters = 5
     t0 = time.perf_counter()
-    for _ in range(iters):
-        wav, mel_len = synth(params, batch_stats, gen_params, batch)
-    wav.block_until_ready()
+    for i in range(iters):
+        # vary an input each iteration so no caching layer can elide work
+        chk, mel_len = synth(params, batch_stats, gen_params, batch,
+                             jnp.float32(0.001 * (i + 1)))
+    float(jax.device_get(chk))
     dt = time.perf_counter() - t0
 
     # every iteration vocodes the full padded mel buffer: B * MAX_MEL frames

@@ -131,3 +131,25 @@ def test_vocoder_infer_lengths():
     wav = np.asarray(gen.apply(gen_params, mel))
     assert wav.shape == (2, 2560)
     assert np.abs(wav).max() <= 1.0
+
+
+def test_bf16_compute_path_close_to_f32():
+    """dtype=bfloat16 runs the conv stack in bf16 (f32 accumulation); the
+    waveform must stay close to the f32 path."""
+    rng = np.random.default_rng(3)
+    state = make_state(rng)
+    params = {"params": convert_torch_state_dict(
+        {k: v.numpy() for k, v in state.items()},
+        upsample_rates=UPS, resblock_kernel_sizes=RKS, resblock_dilations=RDS)}
+    mel = jnp.asarray(rng.standard_normal((2, 13, N_MELS)).astype(np.float32))
+    kw = dict(upsample_rates=UPS, upsample_kernel_sizes=UPK,
+              upsample_initial_channel=CH0, resblock_kernel_sizes=RKS,
+              resblock_dilations=RDS, n_mels=N_MELS)
+    ref = np.asarray(HiFiGANGenerator(**kw).apply(params, mel))
+    low = np.asarray(
+        HiFiGANGenerator(**kw, dtype=jnp.bfloat16).apply(params, mel))
+    assert low.dtype == np.float32  # final conv + tanh stay f32
+    # bf16 has ~3 significant digits; tanh keeps everything in [-1, 1]
+    assert np.abs(low - ref).max() < 0.05
+    denom = np.linalg.norm(ref) + 1e-9
+    assert np.linalg.norm(low - ref) / denom < 0.05

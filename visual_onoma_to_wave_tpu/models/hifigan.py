@@ -33,30 +33,37 @@ LRELU_SLOPE = 0.1
 
 
 def _conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None,
-            dilation: int = 1, stride: int = 1) -> jnp.ndarray:
+            dilation: int = 1, stride: int = 1,
+            dtype=jnp.float32) -> jnp.ndarray:
     """1-D conv, feature-last. x: (B, T, Cin); w: (K, Cin, Cout); SAME-style
-    torch padding dilation*(k-1)//2."""
+    torch padding dilation*(k-1)//2. `dtype` is the compute precision of the
+    conv inputs (bf16 doubles MXU throughput); accumulation is always f32."""
     k = w.shape[0]
     pad = dilation * (k - 1) // 2
     out = jax.lax.conv_general_dilated(
-        x, w, window_strides=(stride,), padding=[(pad, pad)],
-        rhs_dilation=(dilation,), dimension_numbers=("NHC", "HIO", "NHC"),
-    )
-    return out + b if b is not None else out
+        x.astype(dtype), w.astype(dtype), window_strides=(stride,),
+        padding=[(pad, pad)], rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    return out + b.astype(dtype) if b is not None else out
 
 
 def _conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None,
-                      stride: int, torch_padding: int) -> jnp.ndarray:
+                      stride: int, torch_padding: int,
+                      dtype=jnp.float32) -> jnp.ndarray:
     """torch ConvTranspose1d semantics. x: (B, T, Cin); w: (K, Cin, Cout)
     ALREADY flipped relative to torch layout (see load_torch_generator).
     Output length = (T-1)*stride - 2*torch_padding + K."""
     k = w.shape[0]
     pad = k - 1 - torch_padding
     out = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1,), padding=[(pad, pad)],
-        lhs_dilation=(stride,), dimension_numbers=("NHC", "HIO", "NHC"),
-    )
-    return out + b if b is not None else out
+        x.astype(dtype), w.astype(dtype), window_strides=(1,),
+        padding=[(pad, pad)], lhs_dilation=(stride,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    return out + b.astype(dtype) if b is not None else out
 
 
 class ResBlock1(nn.Module):
@@ -65,6 +72,7 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int
     dilations: tuple[int, ...] = (1, 3, 5)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -76,9 +84,9 @@ class ResBlock1(nn.Module):
                             (self.kernel_size, self.channels, self.channels))
             b2 = self.param(f"convs2_{i}_b", nn.initializers.zeros, (self.channels,))
             h = nn.leaky_relu(x, LRELU_SLOPE)
-            h = _conv1d(h, w1, b1, dilation=d)
+            h = _conv1d(h, w1, b1, dilation=d, dtype=self.dtype)
             h = nn.leaky_relu(h, LRELU_SLOPE)
-            h = _conv1d(h, w2, b2, dilation=1)
+            h = _conv1d(h, w2, b2, dilation=1, dtype=self.dtype)
             x = x + h
         return x
 
@@ -92,13 +100,14 @@ class HiFiGANGenerator(nn.Module):
     resblock_kernel_sizes: tuple[int, ...] = (3, 7, 11)
     resblock_dilations: tuple[tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
     n_mels: int = 80
+    dtype: jnp.dtype = jnp.float32  # compute precision; params stay f32
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
         ch0 = self.upsample_initial_channel
         w = self.param("conv_pre_w", nn.initializers.normal(0.01), (7, self.n_mels, ch0))
         b = self.param("conv_pre_b", nn.initializers.zeros, (ch0,))
-        x = _conv1d(mel, w, b)
+        x = _conv1d(mel, w, b, dtype=self.dtype)
 
         n_kernels = len(self.resblock_kernel_sizes)
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
@@ -107,12 +116,14 @@ class HiFiGANGenerator(nn.Module):
             x = nn.leaky_relu(x, LRELU_SLOPE)
             wt = self.param(f"up_{i}_w", nn.initializers.normal(0.01), (k, cin, cout))
             bt = self.param(f"up_{i}_b", nn.initializers.zeros, (cout,))
-            x = _conv_transpose1d(x, wt, bt, stride=u, torch_padding=(k - u) // 2)
+            x = _conv_transpose1d(x, wt, bt, stride=u,
+                                  torch_padding=(k - u) // 2, dtype=self.dtype)
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilations)
             ):
-                y = ResBlock1(cout, rk, tuple(rd), name=f"resblock_{i}_{j}")(x)
+                y = ResBlock1(cout, rk, tuple(rd), dtype=self.dtype,
+                              name=f"resblock_{i}_{j}")(x)
                 acc = y if acc is None else acc + y
             x = acc / n_kernels
 
@@ -120,7 +131,7 @@ class HiFiGANGenerator(nn.Module):
         ch_last = ch0 // (2 ** len(self.upsample_rates))
         w = self.param("conv_post_w", nn.initializers.normal(0.01), (7, ch_last, 1))
         b = self.param("conv_post_b", nn.initializers.zeros, (1,))
-        x = _conv1d(x, w, b)
+        x = _conv1d(x.astype(jnp.float32), w, b)  # final conv in f32
         return jnp.tanh(x)[..., 0]
 
 
