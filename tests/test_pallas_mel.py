@@ -51,3 +51,35 @@ def test_pallas_logmel_energy_odd_batch_and_short_clip():
                                atol=2e-3, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got_energy), np.asarray(ref_energy),
                                atol=1e-2, rtol=1e-4)
+
+
+def test_pallas_clip_features_matches_jnp():
+    """pallas_clip_features (frame-sum based kurtosis/energy) must match
+    ops.stft.clip_features (full-spectrogram based)."""
+    import jax.numpy as jnp
+    from visual_onoma_to_wave_tpu.ops.stft import (
+        clip_features, hann_window, melscale_fbanks, _reflect_pad_1d)
+    from visual_onoma_to_wave_tpu.ops.pallas_mel import pallas_clip_features
+
+    rng = np.random.default_rng(7)
+    n_fft, hop, sr, max_chars = 1024, 256, 22050, 8
+    audio = rng.uniform(-0.9, 0.9, (2, 256 * 40)).astype(np.float32)
+    durs = np.zeros((2, max_chars), np.int32)
+    durs[0, :5] = [8, 9, 7, 10, 7]   # sums 41 = n_frames
+    durs[1, :3] = [20, 11, 10]
+    padded = _reflect_pad_1d(jnp.asarray(audio), n_fft // 2)
+    window = jnp.asarray(hann_window(n_fft))
+    fb = jnp.asarray(melscale_fbanks(n_fft // 2 + 1, 0.0, 8000.0, 80, sr))
+
+    ref_mel, ref_e, ref_k = clip_features(
+        padded, jnp.asarray(durs), window, fb, max_chars, n_fft, hop, n_fft)
+    got_mel, got_e, got_k = pallas_clip_features(
+        padded, jnp.asarray(durs), max_chars, n_fft, hop, n_fft,
+        sampling_rate=sr, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got_mel), np.asarray(ref_mel),
+                               atol=2e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(ref_e),
+                               atol=1e-2, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_k), np.asarray(ref_k),
+                               atol=1e-3, rtol=1e-3)

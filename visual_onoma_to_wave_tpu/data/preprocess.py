@@ -91,6 +91,7 @@ class Preprocessor:
         vmaps on device. Returns per-clip (logmel (T_i, M), char_energy,
         kurtosis) truncated to sum(durations).
         """
+        import jax
         import jax.numpy as jnp
         from visual_onoma_to_wave_tpu.ops.stft import (
             clip_features, hann_window, melscale_fbanks,
@@ -100,6 +101,11 @@ class Preprocessor:
             self._window = jnp.asarray(hann_window(self.win))
             self._melfb = jnp.asarray(melscale_fbanks(
                 self.n_fft // 2 + 1, self.fmin, self.fmax, self.n_mels, self.sr))
+            # On TPU the fused Pallas frontend (ops/pallas_mel.py) keeps the
+            # (F, T) spectrogram out of HBM entirely; elsewhere fall back to
+            # the jnp/rfft path with identical semantics.
+            self._use_pallas = (jax.devices()[0].platform == "tpu"
+                                and self.n_fft % self.hop == 0)
             self._device_fn = clip_features
 
         pad = self.n_fft // 2
@@ -115,11 +121,21 @@ class Preprocessor:
         for i, d in enumerate(durations):
             dur_pad[i, : len(d)] = d
 
-        logmel, char_e, kurt = self._device_fn(
-            jnp.asarray(batch_audio), jnp.asarray(dur_pad),
-            self._window, self._melfb, MAX_CHARS,
-            self.n_fft, self.hop, self.win,
-        )
+        if self._use_pallas:
+            from visual_onoma_to_wave_tpu.ops.pallas_mel import (
+                pallas_clip_features,
+            )
+            logmel, char_e, kurt = pallas_clip_features(
+                jnp.asarray(batch_audio), jnp.asarray(dur_pad), MAX_CHARS,
+                self.n_fft, self.hop, self.win, self.n_mels, self.sr,
+                self.fmin, self.fmax,
+            )
+        else:
+            logmel, char_e, kurt = self._device_fn(
+                jnp.asarray(batch_audio), jnp.asarray(dur_pad),
+                self._window, self._melfb, MAX_CHARS,
+                self.n_fft, self.hop, self.win,
+            )
         logmel = np.asarray(logmel)
         char_e = np.asarray(char_e)
         kurt = np.asarray(kurt)

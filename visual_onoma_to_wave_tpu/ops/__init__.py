@@ -13,6 +13,10 @@ from visual_onoma_to_wave_tpu.ops.length_regulator import (
     get_mask_from_lengths,
     length_regulate,
 )
+from visual_onoma_to_wave_tpu.ops.pallas_mel import (
+    pallas_clip_features,
+    pallas_logmel_energy,
+)
 
 __all__ = [
     "MelPipeline",
@@ -25,5 +29,7 @@ __all__ = [
     "logmel_and_energy",
     "magnitude_spectrogram",
     "melscale_fbanks",
+    "pallas_clip_features",
+    "pallas_logmel_energy",
     "spectral_kurtosis",
 ]

@@ -37,7 +37,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from visual_onoma_to_wave_tpu.ops.stft import hann_window, melscale_fbanks
+from visual_onoma_to_wave_tpu.ops.stft import (
+    KURTOSIS_EPS,
+    char_stats_from_frame_sums,
+    hann_window,
+    melscale_fbanks,
+)
 
 LANE = 128
 
@@ -82,7 +87,8 @@ def _mel_fb_padded(n_fft: int, f_min: float, f_max: float, n_mels: int,
 
 
 def _mel_kernel(audio_ref, cw_ref, sw_ref, fb_ref, out_ref,
-                *, tile_t: int, taps: int, hop: int, energy_col: int):
+                *, tile_t: int, taps: int, hop: int, energy_col: int,
+                pad_logeps: float):
     # audio_ref block: (1, taps, tile_t, hop) — tap j holds the rows view
     # shifted by j, so frame t = concat_j rows[t + j] needs only static,
     # sublane-aligned loads (Mosaic cannot prove base+j % 8 == 0 otherwise).
@@ -101,12 +107,76 @@ def _mel_kernel(audio_ref, cw_ref, sw_ref, fb_ref, out_ref,
     mel = jnp.dot(mag, fb_ref[:], preferred_element_type=jnp.float32,
                   precision=hi)
     out = jnp.log(jnp.maximum(mel, 1.0e-5))
-    # the frame energy rides in a spare padded mel column (TPU pallas wants
+    # per-frame stats ride in spare padded mel columns (TPU pallas wants
     # >=2D lane-tiled outputs, so a separate (B, T) output is not expressible
-    # for small B — see grid_blockspec docs)
-    energy = jnp.sqrt(jnp.sum(power, axis=1, keepdims=True))  # (tile_t, 1)
+    # for small B — see grid_blockspec docs):
+    #   energy_col     L2 energy over freq
+    #   energy_col + 1 sum of power over freq          (kurtosis moment 1)
+    #   energy_col + 2 sum of log(power + eps), with the constant log(eps)
+    #                  contribution of the F_pad-n_freqs zero pad columns
+    #                  removed                          (kurtosis log-moment)
+    p_sum = jnp.sum(power, axis=1, keepdims=True)             # (tile_t, 1)
+    energy = jnp.sqrt(p_sum)
+    logp_sum = (jnp.sum(jnp.log(power + KURTOSIS_EPS), axis=1, keepdims=True)
+                - pad_logeps)
     col = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
-    out_ref[0] = jnp.where(col == energy_col, energy, out)
+    out = jnp.where(col == energy_col, energy, out)
+    out = jnp.where(col == energy_col + 1, p_sum, out)
+    out_ref[0] = jnp.where(col == energy_col + 2, logp_sum, out)
+
+
+
+def _run_mel_kernel(prepadded_audio, n_fft, hop_length, win_length, n_mels,
+                    sampling_rate, f_min, f_max, tile_t, interpret):
+    """Shared launch path: returns (out (B, t_pad, m_pad), n_frames).
+
+    Column layout of `out`: [0, n_mels) log-mel; n_mels frame L2 energy;
+    n_mels+1 power sum over freq; n_mels+2 log-power sum over freq.
+    """
+    if n_fft % hop_length != 0:
+        raise ValueError("pallas mel frontend requires n_fft % hop == 0")
+    taps = n_fft // hop_length
+    b, length = prepadded_audio.shape
+    n_frames = (length - n_fft) // hop_length + 1
+    t_pad = _round_up(n_frames, tile_t)
+    n_rows = t_pad + taps - 1
+    audio = jnp.clip(prepadded_audio, -1.0, 1.0)
+    need = n_rows * hop_length
+    audio = jnp.pad(audio, ((0, 0), (0, need - length)))[:, :need]
+    rows = audio.reshape(b, n_rows, hop_length)
+    # (b, taps, t_pad, hop): tap j = rows shifted by j (see _mel_kernel)
+    rows = jnp.stack([rows[:, j:j + t_pad] for j in range(taps)], axis=1)
+
+    cw, sw = _dft_basis(n_fft, win_length)
+    fb = _mel_fb_padded(n_fft, f_min, f_max, n_mels, sampling_rate)
+    f_pad, m_pad = fb.shape
+    if n_mels + 3 > m_pad:
+        raise ValueError("need 3 spare padded mel columns for frame stats")
+    n_freqs = n_fft // 2 + 1
+    pad_logeps = float((f_pad - n_freqs) * np.log(KURTOSIS_EPS))
+
+    out = pl.pallas_call(
+        functools.partial(_mel_kernel, tile_t=tile_t, taps=taps,
+                          hop=hop_length, energy_col=n_mels,
+                          pad_logeps=pad_logeps),
+        grid=(b, t_pad // tile_t),
+        in_specs=[
+            pl.BlockSpec((1, taps, tile_t, hop_length),
+                         lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, f_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, f_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_pad, m_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_t, m_pad), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, m_pad), jnp.float32),
+        interpret=interpret,
+    )(rows, jnp.asarray(cw), jnp.asarray(sw), jnp.asarray(fb))
+    return out, n_frames
 
 
 @functools.partial(
@@ -134,47 +204,53 @@ def pallas_logmel_energy(
     Returns (logmel (B, n_mels, T), energy (B, T)) with
         T = (L - n_fft)//hop + 1, matching ops.stft.logmel_and_energy.
     """
-    if n_fft % hop_length != 0:
-        raise ValueError("pallas mel frontend requires n_fft % hop == 0")
-    taps = n_fft // hop_length
-    b, length = prepadded_audio.shape
-    n_frames = (length - n_fft) // hop_length + 1
-    t_pad = _round_up(n_frames, tile_t)
-    n_rows = t_pad + taps - 1
-    audio = jnp.clip(prepadded_audio, -1.0, 1.0)
-    need = n_rows * hop_length
-    audio = jnp.pad(audio, ((0, 0), (0, need - length)))[:, :need]
-    rows = audio.reshape(b, n_rows, hop_length)
-    # (b, taps, t_pad, hop): tap j = rows shifted by j (see _mel_kernel)
-    rows = jnp.stack([rows[:, j:j + t_pad] for j in range(taps)], axis=1)
-
-    cw, sw = _dft_basis(n_fft, win_length)
-    fb = _mel_fb_padded(n_fft, f_min, f_max, n_mels, sampling_rate)
-    f_pad, m_pad = fb.shape
-    if n_mels >= m_pad:
-        raise ValueError("need a spare padded mel column for the energy")
-
-    grid = (b, t_pad // tile_t)
-    out = pl.pallas_call(
-        functools.partial(_mel_kernel, tile_t=tile_t, taps=taps,
-                          hop=hop_length, energy_col=n_mels),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, taps, tile_t, hop_length),
-                         lambda i, j: (i, 0, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, f_pad), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, f_pad), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((f_pad, m_pad), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile_t, m_pad), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, m_pad), jnp.float32),
-        interpret=interpret,
-    )(rows, jnp.asarray(cw), jnp.asarray(sw), jnp.asarray(fb))
-
+    out, n_frames = _run_mel_kernel(
+        prepadded_audio, n_fft, hop_length, win_length, n_mels,
+        sampling_rate, f_min, f_max, tile_t, interpret)
     logmel = out[:, :n_frames, :n_mels].swapaxes(-1, -2)  # (B, M, T)
     return logmel, out[:, :n_frames, n_mels]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_chars", "n_fft", "hop_length", "win_length",
+                     "n_mels", "sampling_rate", "f_min", "f_max", "tile_t",
+                     "interpret"),
+)
+def pallas_clip_features(
+    prepadded_audio: jnp.ndarray,
+    durations: jnp.ndarray,
+    max_chars: int,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: int = 1024,
+    n_mels: int = 80,
+    sampling_rate: int = 22050,
+    f_min: float = 0.0,
+    f_max: float = 8000.0,
+    tile_t: int = 128,
+    interpret: bool = False,
+):
+    """Drop-in Pallas-backed equivalent of ops.stft.clip_features.
+
+    The kernel's spare columns carry the per-frame reductions (L2 energy,
+    power sum, log-power sum), so char-level energy and spectral kurtosis
+    are computed from (B, T)-sized data — the (F, T) spectrogram never
+    touches HBM.
+
+    prepadded_audio: (B, L) reflect-padded clips; durations: (B, max_chars).
+    Returns (logmel (B, M, T), char_energy (B, max_chars), kurtosis).
+    """
+    out, n_frames = _run_mel_kernel(
+        prepadded_audio, n_fft, hop_length, win_length, n_mels,
+        sampling_rate, f_min, f_max, tile_t, interpret)
+    n_freqs = n_fft // 2 + 1
+    logmel = out[:, :n_frames, :n_mels].swapaxes(-1, -2)      # (B, M, T)
+    frame_e = out[:, :n_frames, n_mels]
+    p_sum = out[:, :n_frames, n_mels + 1]
+    logp_sum = out[:, :n_frames, n_mels + 2]
+    char_energy, kurt = jax.vmap(
+        functools.partial(char_stats_from_frame_sums,
+                          max_chars=max_chars, n_freqs=n_freqs)
+    )(frame_e, p_sum, logp_sum, durations)
+    return logmel, char_energy, kurt

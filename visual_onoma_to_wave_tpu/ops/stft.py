@@ -257,7 +257,6 @@ def clip_features(
     frames beyond sum(durations) are garbage-by-construction and must be
     truncated by the caller.
     """
-    eps = 1e-8
     audio = jnp.clip(prepadded_audio, -1.0, 1.0)
     frames = frame_signal(audio, n_fft, hop_length) * window
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
@@ -269,39 +268,56 @@ def clip_features(
 
     power = mag * mag
     n_freqs = power.shape[-2]
-    n_frames = power.shape[-1]
+    p_sum_t = jnp.sum(power, axis=-2)
+    logp_sum_t = jnp.sum(jnp.log(power + KURTOSIS_EPS), axis=-2)
 
-    def per_clip(power_c, frame_energy_c, durations_c):
-        bounds = jnp.cumsum(durations_c)
-        frame_idx = jnp.arange(n_frames, dtype=jnp.int32)
-        char_of_frame = jnp.searchsorted(bounds, frame_idx, side="right")
-        char_of_frame = jnp.where(frame_idx < bounds[-1], char_of_frame, max_chars)
-
-        seg_e = jax.ops.segment_sum(frame_energy_c, char_of_frame,
-                                    num_segments=max_chars + 1)[:max_chars]
-        d = durations_c.astype(jnp.float32)
-        char_energy = jnp.where(d > 0, seg_e / jnp.where(d > 0, d, 1.0), 0.0)
-
-        p_sum_t = jnp.sum(power_c, axis=0)
-        logp_sum_t = jnp.sum(jnp.log(power_c + eps), axis=0)
-        seg_p = jax.ops.segment_sum(p_sum_t, char_of_frame,
-                                    num_segments=max_chars + 1)[:max_chars]
-        seg_logp = jax.ops.segment_sum(logp_sum_t, char_of_frame,
-                                       num_segments=max_chars + 1)[:max_chars]
-        counts = d * n_freqs
-        safe = counts > 0
-        denom = jnp.where(safe, counts, 1.0)
-        gamma = jnp.log(seg_p / denom + eps) - seg_logp / denom
-        eta = (3.0 - gamma + jnp.sqrt((gamma - 3.0) ** 2 + 24.0 * gamma)) / (12.0 * gamma)
-        kurt = (eta + 2.0) * (eta + 3.0) / (eta * (eta + 1.0) + eps)
-        kurt = jnp.where(safe, kurt, 0.0)
-        return char_energy.astype(jnp.float32), kurt.astype(jnp.float32)
-
+    per_clip = functools.partial(char_stats_from_frame_sums,
+                                 max_chars=max_chars, n_freqs=n_freqs)
     if power.ndim == 2:
-        char_energy, kurt = per_clip(power, frame_energy, durations)
+        char_energy, kurt = per_clip(frame_energy, p_sum_t, logp_sum_t, durations)
     else:
-        char_energy, kurt = jax.vmap(per_clip)(power, frame_energy, durations)
+        char_energy, kurt = jax.vmap(per_clip)(
+            frame_energy, p_sum_t, logp_sum_t, durations)
     return logmel, char_energy, kurt
+
+
+KURTOSIS_EPS = 1e-8
+
+
+def char_stats_from_frame_sums(frame_energy, p_sum_t, logp_sum_t, durations,
+                               *, max_chars: int, n_freqs: int):
+    """Char-level mean energy + spectral kurtosis from per-frame reductions.
+
+    Only per-frame sums over frequency are needed, so callers (jnp path above,
+    Pallas frontend in ops/pallas_mel.py) never keep the (F, T) spectrogram:
+      frame_energy: (T,) L2 over freq;  p_sum_t: (T,) sum of |S|^2 over freq;
+      logp_sum_t: (T,) sum of log(|S|^2 + eps) over freq.
+    Same estimator as reference _get_kurtosis (preprocessor.py:339-357).
+    """
+    eps = KURTOSIS_EPS
+    n_frames = frame_energy.shape[0]
+    bounds = jnp.cumsum(durations)
+    frame_idx = jnp.arange(n_frames, dtype=jnp.int32)
+    char_of_frame = jnp.searchsorted(bounds, frame_idx, side="right")
+    char_of_frame = jnp.where(frame_idx < bounds[-1], char_of_frame, max_chars)
+
+    seg_e = jax.ops.segment_sum(frame_energy, char_of_frame,
+                                num_segments=max_chars + 1)[:max_chars]
+    d = durations.astype(jnp.float32)
+    char_energy = jnp.where(d > 0, seg_e / jnp.where(d > 0, d, 1.0), 0.0)
+
+    seg_p = jax.ops.segment_sum(p_sum_t, char_of_frame,
+                                num_segments=max_chars + 1)[:max_chars]
+    seg_logp = jax.ops.segment_sum(logp_sum_t, char_of_frame,
+                                   num_segments=max_chars + 1)[:max_chars]
+    counts = d * n_freqs
+    safe = counts > 0
+    denom = jnp.where(safe, counts, 1.0)
+    gamma = jnp.log(seg_p / denom + eps) - seg_logp / denom
+    eta = (3.0 - gamma + jnp.sqrt((gamma - 3.0) ** 2 + 24.0 * gamma)) / (12.0 * gamma)
+    kurt = (eta + 2.0) * (eta + 3.0) / (eta * (eta + 1.0) + eps)
+    kurt = jnp.where(safe, kurt, 0.0)
+    return char_energy.astype(jnp.float32), kurt.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
