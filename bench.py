@@ -5,6 +5,13 @@ HiFi-GAN V1 vocoder, batched, on one TPU chip. RTF = generated audio seconds
 per wall-clock second. Baseline target: >= 50x real time.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+`python bench.py --full` additionally prints one JSON line per sub-metric
+(vocoder-only RTF, acoustic-model mel-frames/sec, device-DSP preprocessing
+clips/sec via the Pallas frontend). Timing note: on the tunneled TPU
+platform block_until_ready() is a no-op, so every measurement syncs through
+jax.device_get of a small in-jit checksum, after two synced warmup runs
+(the first execution pays a one-time executable upload).
 """
 from __future__ import annotations
 
@@ -13,6 +20,27 @@ import sys
 import time
 
 import numpy as np
+
+
+def _timed(fn, make_args, iters: int):
+    """Median-free simple timing: 2 synced warmups, then `iters` executions
+    with one final sync. fn must return a scalar (or tuple whose first
+    element is a scalar) that depends on the full computation."""
+    import jax
+
+    def run(i):
+        out = fn(*make_args(i))
+        chk = out[0] if isinstance(out, tuple) else out
+        return chk
+
+    float(jax.device_get(run(0)))
+    float(jax.device_get(run(1)))
+    t0 = time.perf_counter()
+    chk = None
+    for i in range(iters):
+        chk = run(2 + i)
+    float(jax.device_get(chk))
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -88,7 +116,83 @@ def main():
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 50.0, 3),
     }))
+
+    if "--full" in sys.argv:
+        _full(model, variables, gen, gen_params, batch, B, MAX_MEL, HOP, SR)
     return 0
+
+
+def _full(model, variables, gen, gen_params, batch, B, MAX_MEL, HOP, SR):
+    import jax
+    import jax.numpy as jnp
+
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    rng = np.random.default_rng(1)
+
+    # --- vocoder-only RTF ------------------------------------------------
+    mels = jnp.asarray(rng.standard_normal((B, MAX_MEL, 80)).astype(np.float32))
+
+    @jax.jit
+    def voc(mel, salt):
+        wav = gen.apply(gen_params, mel + salt)
+        return jnp.sum(wav[:, ::4097])
+
+    dt = _timed(voc, lambda i: (mels, jnp.float32(1e-3 * i)), iters=5)
+    rtf = (B * MAX_MEL * HOP / SR) / dt
+    print(json.dumps({"metric": "vocoder_rtf", "value": round(rtf, 2),
+                      "unit": "x_realtime_per_chip",
+                      "vs_baseline": round(rtf / 50.0, 3)}))
+
+    # --- acoustic model forward: mel-frames/sec --------------------------
+    @jax.jit
+    def acoustic(params, batch_stats, batch, salt):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            audiotypes=batch["audiotypes"], texts=batch["texts"],
+            src_lens=batch["src_lens"],
+            image_cells=batch["image_cells"] + salt,
+            use_image=True, deterministic=True)
+        return jnp.sum(out["postnet_mel"][:, ::37, ::17])
+
+    dt = _timed(acoustic,
+                lambda i: (params, batch_stats, batch, jnp.float32(1e-3 * i)),
+                iters=5)
+    fps = B * MAX_MEL / dt
+    print(json.dumps({"metric": "acoustic_mel_frames_per_sec",
+                      "value": round(fps, 1), "unit": "frames/sec/chip",
+                      "vs_baseline": None}))
+
+    # --- preprocessing DSP: clips/sec (Pallas frontend on TPU) -----------
+    from visual_onoma_to_wave_tpu.ops.pallas_mel import pallas_clip_features
+    from visual_onoma_to_wave_tpu.ops.stft import (
+        clip_features, hann_window, melscale_fbanks)
+
+    n_clips, clip_samples, max_chars = 64, 22050, 16  # 1 s @ 22.05 kHz each
+    audio = rng.uniform(-0.9, 0.9, (n_clips, clip_samples + 1024)).astype(
+        np.float32)  # pre-padded length
+    durs = np.zeros((n_clips, max_chars), np.int32)
+    durs[:, :8] = 10
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        def prep(a, d, salt):
+            mel, e, k = pallas_clip_features(a + salt, d, max_chars)
+            return jnp.sum(mel[:, ::7, ::11]) + jnp.sum(e) + jnp.sum(k)
+    else:
+        window = jnp.asarray(hann_window(1024))
+        fb = jnp.asarray(melscale_fbanks(513, 0.0, 8000.0, 80, 22050))
+
+        def prep(a, d, salt):
+            mel, e, k = clip_features(a + salt, d, window, fb, max_chars)
+            return jnp.sum(mel[:, ::7, ::11]) + jnp.sum(e) + jnp.sum(k)
+
+    prep = jax.jit(prep)
+    a, d = jnp.asarray(audio), jnp.asarray(durs)
+    dt = _timed(prep, lambda i: (a, d, jnp.float32(1e-4 * i)), iters=5)
+    cps = n_clips / dt
+    print(json.dumps({"metric": "preprocess_dsp_clips_per_sec",
+                      "value": round(cps, 1), "unit": "clips/sec/chip",
+                      "vs_baseline": None}))
 
 
 if __name__ == "__main__":

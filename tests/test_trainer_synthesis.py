@@ -134,3 +134,15 @@ def test_synthesizer_end_to_end(tiny_env):
     res_fast = synth.synthesize("パンパン", "drum", d_control=0.5)
     assert res_fast.mel.shape[0] <= res.mel.shape[0] + 1
     trainer.ckpt.close()
+
+
+def test_trainer_profiler_trace(tiny_env, tmp_path):
+    """profile_dir captures a jax.profiler trace over the configured window."""
+    from visual_onoma_to_wave_tpu.training.trainer import Trainer
+
+    prof = tmp_path / "trace"
+    trainer = Trainer(tiny_env, use_mesh=False, profile_dir=str(prof),
+                      profile_steps=(2, 4))
+    trainer.train(max_steps=5)
+    trainer.ckpt.close()
+    assert prof.exists() and any(prof.rglob("*")), "no trace files written"

@@ -74,7 +74,8 @@ def cmd_train(args):
         from visual_onoma_to_wave_tpu.utils.checkpoint import load_params
         vocoder_params = load_params(args.vocoder)
     trainer = Trainer(cfg, restore_step=args.restore_step,
-                      vocoder_params=vocoder_params)
+                      vocoder_params=vocoder_params,
+                      profile_dir=args.profile_dir)
     trainer.train(max_steps=args.max_steps)
 
 
@@ -153,6 +154,8 @@ def main(argv=None):
     s.add_argument("--max-steps", type=int, default=None)
     s.add_argument("--vocoder", default=None,
                    help="converted vocoder params dir for synth samples")
+    s.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace (steps 10-15) here")
     s.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("evaluate", help="validation losses (evaluate.py)")

@@ -45,7 +45,9 @@ def _jit_batch(batch: dict) -> dict:
 
 class Trainer:
     def __init__(self, config: Config, restore_step: Optional[int] = None,
-                 vocoder_params=None, use_mesh: bool = True):
+                 vocoder_params=None, use_mesh: bool = True,
+                 profile_dir: Optional[str] = None,
+                 profile_steps: tuple[int, int] = (10, 15)):
         self.config = config
         self.metadata = DatasetMetadata.load(config.path.preprocessed)
         self.train_ds = OnomaDataset("train.txt", config, sort=True,
@@ -84,6 +86,11 @@ class Trainer:
         self.vocoder_params = vocoder_params
         self.timer = StepTimer()
         self._rng = jax.random.PRNGKey(config.train.seed + 1)
+        # jax.profiler trace over a step window (observability the reference
+        # lacks, SURVEY.md §5): view with tensorboard/xprof or Perfetto.
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
+        self._profiling = False
 
     # ------------------------------------------------------------------
     def _place(self, batch: dict) -> dict:
@@ -109,6 +116,7 @@ class Trainer:
             for batch in self.train_ds.batches(
                     group_size=4, seed=self.config.train.seed + epoch):
                 jb = self._place(_jit_batch(batch))
+                self._maybe_profile(step)
                 self.timer.start()
                 self.state, losses = self.train_step(self.state, jb, self._rng)
                 step = int(self.state.step)
@@ -134,8 +142,26 @@ class Trainer:
                     on_step(step, losses if isinstance(losses, dict) else None)
                 if step >= total:
                     break
+        self._stop_profile()
         self.ckpt.save(self.state)
         return self.state
+
+    def _maybe_profile(self, step: int) -> None:
+        if self.profile_dir is None:
+            return
+        lo, hi = self.profile_steps
+        if not self._profiling and step == lo:
+            jax.profiler.start_trace(self.profile_dir)
+            self._profiling = True
+        elif self._profiling and step >= hi:
+            self._stop_profile()
+
+    def _stop_profile(self) -> None:
+        if self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            self.train_log.text(
+                f"profiler trace written to {self.profile_dir}")
 
     # ------------------------------------------------------------------
     def evaluate(self, step: int | None = None) -> dict:
