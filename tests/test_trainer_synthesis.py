@@ -146,3 +146,32 @@ def test_trainer_profiler_trace(tiny_env, tmp_path):
     trainer.train(max_steps=5)
     trainer.ckpt.close()
     assert prof.exists() and any(prof.rglob("*")), "no trace files written"
+
+
+def test_synthesize_batch(tiny_env):
+    import jax.numpy as jnp
+    from visual_onoma_to_wave_tpu.models.hifigan import HiFiGANGenerator
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+    from visual_onoma_to_wave_tpu.training.trainer import Trainer
+
+    trainer = Trainer(tiny_env, use_mesh=False)
+    gen = HiFiGANGenerator(upsample_initial_channel=32)
+    gp = gen.init(__import__("jax").random.PRNGKey(0),
+                  jnp.zeros((1, 8, 80), jnp.float32))
+    synth = Synthesizer(tiny_env, trainer.model, trainer.state,
+                        trainer.metadata, trainer.train_ds.symbol_map, gp,
+                        vocoder=gen)
+    texts = ["パン", "パンパン", "ンンン"]
+    results = synth.synthesize_batch(texts, ["drum"] * 3)
+    assert len(results) == 3
+    for text, r in zip(texts, results):
+        assert r.durations.shape == (len(text),)
+        assert r.mel.shape[1] == 80
+        assert r.wav is not None
+        assert r.wav.shape[0] == r.mel.shape[0] * 256
+        assert np.isfinite(r.wav).all()
+    # batch path must agree with the single-item path on the same input
+    single = synth.synthesize("パンパン", "drum")
+    np.testing.assert_array_equal(results[1].durations, single.durations)
+    np.testing.assert_allclose(results[1].mel, single.mel, atol=1e-4)
+    trainer.ckpt.close()

@@ -46,8 +46,9 @@ class Synthesizer:
         self.cell_width = metadata.max_pixelsize
         self.renderer = VisualTextRenderer.from_config(config)
         self._synth_step = make_synth_step(model, self.use_image)
-        # pad text to small buckets to bound jit specializations
+        # pad text/mel to small buckets to bound jit specializations
         self.text_bucket = 4
+        self.mel_bucket = 64
 
     def _render_cells(self, text: str, width_rates: Sequence[float]) -> np.ndarray:
         """(n_chars, H, cell_width) float32 cells in [0, 1], one per character,
@@ -109,9 +110,99 @@ class Synthesizer:
 
         wav = None
         if self.vocoder_params is not None and mel_len > 0:
-            from visual_onoma_to_wave_tpu.models.hifigan import vocoder_infer
-            wavs, lens = vocoder_infer(self.vocoder_params, jnp.asarray(mel[None]),
-                                       gen=self.vocoder)
-            wav = np.asarray(wavs[0][: int(lens[0])])
+            wav = self._vocode_padded(mel[None], [mel_len])[0]
         return SynthesisResult(wav=wav, mel=mel, durations=durations,
                                energy=energy, image=image)
+
+    # ------------------------------------------------------------------
+    # batched serving path
+    # ------------------------------------------------------------------
+    def _vocode_padded(self, mels: np.ndarray, mel_lens: Sequence[int]
+                       ) -> list[np.ndarray]:
+        """Vocode a (B, T, M) mel batch padded to a MEL_BUCKET multiple so the
+        HiFi-GAN executable is reused across requests; truncate each waveform
+        to mel_len * hop samples."""
+        from visual_onoma_to_wave_tpu.models.hifigan import vocoder_infer
+        hop = self.config.audio.stft.hop_length
+        t = mels.shape[1]
+        t_pad = ((t + self.mel_bucket - 1) // self.mel_bucket) * self.mel_bucket
+        mels = np.pad(mels, ((0, 0), (0, t_pad - t), (0, 0)))
+        wavs, _ = vocoder_infer(self.vocoder_params, jnp.asarray(mels),
+                                gen=self.vocoder, hop_length=hop)
+        wavs = np.asarray(wavs)
+        return [wavs[i, : mel_lens[i] * hop] for i in range(len(mel_lens))]
+
+    def synthesize_batch(
+        self,
+        texts: Sequence[str],
+        audiotypes: Sequence[str | int],
+        width_rates: Optional[Sequence[Optional[Sequence[float]]]] = None,
+        e_control: float = 1.0,
+        d_control: float = 1.0,
+    ) -> list[SynthesisResult]:
+        """Batched text -> waveform: one acoustic forward + one vocoder call
+        for the whole batch (the serving-throughput path behind bench.py's
+        headline metric). Batch and text lengths are bucketed so repeated
+        calls reuse compiled executables."""
+        assert len(texts) == len(audiotypes)
+        bsz = len(texts)
+        if width_rates is None:
+            width_rates = [None] * bsz
+        b_pad = max(1, 1 << (bsz - 1).bit_length())       # pow2 batch bucket
+        n_max = max(len(t) for t in texts)
+        C = ((n_max + self.text_bucket - 1) // self.text_bucket) * self.text_bucket
+
+        ids = np.zeros((b_pad,), np.int32)
+        text_ids = np.zeros((b_pad, C), np.int32)
+        src_lens = np.ones((b_pad,), np.int32)
+        h = self.metadata.image_height
+        cells = np.ones((b_pad, C, h, self.cell_width), np.float32)
+        images = []
+        for i, (text, at) in enumerate(zip(texts, audiotypes)):
+            ids[i] = (self.metadata.audiotype_map[at]
+                      if isinstance(at, str) else int(at))
+            n = len(text)
+            src_lens[i] = n
+            try:
+                text_ids[i, :n] = encode_text(text, self.symbol_map)
+            except KeyError:
+                pass
+            if self.use_image:
+                wr = width_rates[i] if width_rates[i] is not None else [1.0] * n
+                c = self._render_cells(text, wr)
+                cells[i, :n] = c
+                images.append(
+                    (c.transpose(1, 0, 2).reshape(c.shape[1], -1) * 255
+                     ).astype(np.uint8))
+            else:
+                images.append(None)
+
+        batch = {
+            "audiotypes": jnp.asarray(ids),
+            "texts": jnp.asarray(text_ids),
+            "src_lens": jnp.asarray(src_lens),
+        }
+        if self.use_image:
+            batch["image_cells"] = jnp.asarray(cells)
+
+        out = self._synth_step(self.state, batch,
+                               e_control=e_control, d_control=d_control)
+        mel_lens = np.asarray(out["mel_lens"])[:bsz].astype(int)
+        mels = np.asarray(out["postnet_mel"])[:bsz]
+        durs = np.asarray(out["duration_rounded"])[:bsz].astype(np.int32)
+        energies = (np.asarray(out["energy_pred"])[:bsz]
+                    if out["energy_pred"] is not None else None)
+
+        wavs = [None] * bsz
+        if self.vocoder_params is not None:
+            wavs = self._vocode_padded(mels, [max(int(l), 1) for l in mel_lens])
+
+        results = []
+        for i, text in enumerate(texts):
+            n = len(text)
+            ml = max(int(mel_lens[i]), 1)
+            results.append(SynthesisResult(
+                wav=wavs[i], mel=mels[i, :ml], durations=durs[i, :n],
+                energy=energies[i, :n] if energies is not None else None,
+                image=images[i]))
+        return results
