@@ -115,11 +115,15 @@ def cmd_synthesize(args):
 
 
 def cmd_convert_vocoder(args):
-    from visual_onoma_to_wave_tpu.models.hifigan import load_torch_generator
     from visual_onoma_to_wave_tpu.utils.checkpoint import save_params
-    params = load_torch_generator(args.torch_ckpt)
+    if args.kind.lower() in ("melgan", "mel-gan"):
+        from visual_onoma_to_wave_tpu.models.melgan import load_torch_melgan
+        params = load_torch_melgan(args.torch_ckpt)
+    else:
+        from visual_onoma_to_wave_tpu.models.hifigan import load_torch_generator
+        params = load_torch_generator(args.torch_ckpt)
     save_params(args.out_dir, params)
-    print(f"converted HiFi-GAN generator -> {args.out_dir}")
+    print(f"converted {args.kind} generator -> {args.out_dir}")
 
 
 def cmd_bench(args):
@@ -177,9 +181,12 @@ def main(argv=None):
     s.set_defaults(fn=cmd_synthesize)
 
     s = sub.add_parser("convert-vocoder",
-                       help="torch HiFi-GAN ckpt -> orbax params")
+                       help="torch vocoder ckpt -> orbax params")
     s.add_argument("torch_ckpt")
     s.add_argument("out_dir")
+    s.add_argument("--kind", default="HiFi-GAN",
+                   choices=["HiFi-GAN", "MelGAN"],
+                   help="vocoder family of the torch checkpoint")
     s.set_defaults(fn=cmd_convert_vocoder)
 
     s = sub.add_parser("bench", help="run the benchmark harness")

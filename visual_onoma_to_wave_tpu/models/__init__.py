@@ -12,6 +12,11 @@ from visual_onoma_to_wave_tpu.models.vfe import (
     slice_image_to_cells,
 )
 from visual_onoma_to_wave_tpu.models.vtts import VTTS, FFTStack
+from visual_onoma_to_wave_tpu.models.vocoder import (
+    get_vocoder,
+    load_torch_vocoder,
+    vocoder_infer,
+)
 
 __all__ = [
     "FFTBlock",
@@ -23,6 +28,9 @@ __all__ = [
     "VarianceAdaptor",
     "VariancePredictor",
     "VisualFeatureExtractor",
+    "get_vocoder",
+    "load_torch_vocoder",
     "sinusoid_position_table",
     "slice_image_to_cells",
+    "vocoder_infer",
 ]

@@ -1,0 +1,52 @@
+"""Vocoder family dispatch (reference scripts/utils/model.py:41-98).
+
+The reference selects between HiFi-GAN (local checkpoint) and MelGAN
+(torch.hub) from config["vocoder"]["model"]; here both families are native
+flax modules with torch-checkpoint converters, and `vocoder_infer` routes
+ln-domain mels to whichever family is configured (MelGAN expects log10,
+handled inside melgan_infer).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from visual_onoma_to_wave_tpu.models.hifigan import (
+    HiFiGANGenerator,
+    load_torch_generator,
+)
+from visual_onoma_to_wave_tpu.models.hifigan import vocoder_infer as _hifigan_infer
+from visual_onoma_to_wave_tpu.models.melgan import (
+    MelGANGenerator,
+    load_torch_melgan,
+    melgan_infer,
+)
+
+
+def get_vocoder(model: str = "HiFi-GAN", *, dtype=jnp.float32, **kwargs):
+    """Build the configured vocoder module (params loaded separately via
+    utils.checkpoint.load_params or the torch converters)."""
+    name = model.lower().replace("-", "")
+    if name == "melgan":
+        return MelGANGenerator(**kwargs)
+    if name == "hifigan":
+        return HiFiGANGenerator(dtype=dtype, **kwargs)
+    raise ValueError(f"unknown vocoder family: {model!r}")
+
+
+def load_torch_vocoder(model: str, ckpt_path: str) -> dict:
+    name = model.lower().replace("-", "")
+    if name == "melgan":
+        return load_torch_melgan(ckpt_path)
+    if name == "hifigan":
+        return load_torch_generator(ckpt_path)
+    raise ValueError(f"unknown vocoder family: {model!r}")
+
+
+def vocoder_infer(params, mels, lengths=None, hop_length: int = 256,
+                  gen=None, model: str = "HiFi-GAN"):
+    """Batched ln-mel (B, T, M) -> waveform for whichever family `gen` (or
+    `model`) names. Returns (wavs (B, T*hop), per-item sample lengths)."""
+    if isinstance(gen, MelGANGenerator) or (
+            gen is None and model.lower().replace("-", "") == "melgan"):
+        return melgan_infer(params, mels, lengths, hop_length, gen)
+    return _hifigan_infer(params, mels, lengths, hop_length, gen)

@@ -120,15 +120,16 @@ class Synthesizer:
     def _vocode_padded(self, mels: np.ndarray, mel_lens: Sequence[int]
                        ) -> list[np.ndarray]:
         """Vocode a (B, T, M) mel batch padded to a MEL_BUCKET multiple so the
-        HiFi-GAN executable is reused across requests; truncate each waveform
+        vocoder executable is reused across requests; truncate each waveform
         to mel_len * hop samples."""
-        from visual_onoma_to_wave_tpu.models.hifigan import vocoder_infer
+        from visual_onoma_to_wave_tpu.models.vocoder import vocoder_infer
         hop = self.config.audio.stft.hop_length
         t = mels.shape[1]
         t_pad = ((t + self.mel_bucket - 1) // self.mel_bucket) * self.mel_bucket
         mels = np.pad(mels, ((0, 0), (0, t_pad - t), (0, 0)))
         wavs, _ = vocoder_infer(self.vocoder_params, jnp.asarray(mels),
-                                gen=self.vocoder, hop_length=hop)
+                                gen=self.vocoder, hop_length=hop,
+                                model=self.config.model.vocoder_model)
         wavs = np.asarray(wavs)
         return [wavs[i, : mel_lens[i] * hop] for i in range(len(mel_lens))]
 
