@@ -81,6 +81,8 @@ class OnomaDataset:
         # text/mel padding buckets (multiples chosen to bound jit variants)
         self.text_bucket = 4
         self.mel_bucket = 128
+        from visual_onoma_to_wave_tpu import native
+        self._native = native.available()
 
         self.rows = []
         for line in (self.root / filename).read_text(encoding="utf-8").splitlines():
@@ -111,7 +113,11 @@ class OnomaDataset:
                 .convert("L"),
                 dtype=np.uint8,
             )
-            cells = pad_character_cells(img, widths, self.cell_width)
+            if self._native:
+                from visual_onoma_to_wave_tpu import native
+                cells = native.pad_cells_u8(img, widths, self.cell_width)
+            else:
+                cells = pad_character_cells(img, widths, self.cell_width)
         return Sample(
             basename=name,
             audiotype_id=self.metadata.audiotype_map[audiotype],

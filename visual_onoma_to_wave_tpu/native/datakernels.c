@@ -1,0 +1,69 @@
+/* Native data-plane kernels for the host loader hot path.
+ *
+ * The reference's DataLoader re-pads every character cell in Python inside
+ * 10 worker processes (reference scripts/dataset.py:71-92
+ * character_padding_forinput + utils/tools.py:617-635 pad_2D_gray_image).
+ * Here the equivalent work — slicing a glyph strip into per-character
+ * cells, centering each on a white background (extra pixel on the LEFT),
+ * and emitting normalized float32 straight into the batch tensor — is one
+ * C pass per clip, called through ctypes from data/dataset.py.
+ *
+ * Build: cc -O2 -shared -fPIC datakernels.c -o _datakernels.so
+ * (done on demand by native/__init__.py; pure C99, no dependencies).
+ */
+#include <stdint.h>
+#include <string.h>
+
+/* Slice img (H x W, row-major uint8) into n cells of cell_width, each
+ * character (widths[i] px) centered with ceil-left padding, written as
+ * normalized float32 into out (n x H x cell_width, prefilled by caller or
+ * overwritten fully here with background 1.0f). Returns 0 on success. */
+int fill_cells_f32(const uint8_t *img, int64_t height, int64_t width,
+                   const int64_t *widths, int64_t n, int64_t cell_width,
+                   float *out) {
+    int64_t x = 0;
+    const float inv = 1.0f / 255.0f;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t w = widths[i];
+        int64_t copy_w = w;
+        if (copy_w > cell_width) copy_w = cell_width;          /* defensive */
+        if (x + copy_w > width) copy_w = width > x ? width - x : 0;
+        int64_t pad = cell_width - copy_w;
+        int64_t left = pad / 2 + (pad & 1);                    /* ceil-left */
+        float *cell = out + i * height * cell_width;
+        for (int64_t r = 0; r < height; r++) {
+            float *row = cell + r * cell_width;
+            const uint8_t *src = img + r * width + x;
+            int64_t c = 0;
+            for (; c < left; c++) row[c] = 1.0f;
+            for (int64_t k = 0; k < copy_w; k++) row[c++] = src[k] * inv;
+            for (; c < cell_width; c++) row[c] = 1.0f;
+        }
+        x += w;
+    }
+    return 0;
+}
+
+/* uint8 variant preserving the reference's artifact dtype (255 background),
+ * for code paths that keep cells as uint8. */
+int pad_cells_u8(const uint8_t *img, int64_t height, int64_t width,
+                 const int64_t *widths, int64_t n, int64_t cell_width,
+                 uint8_t *out) {
+    int64_t x = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t w = widths[i];
+        int64_t copy_w = w;
+        if (copy_w > cell_width) copy_w = cell_width;
+        if (x + copy_w > width) copy_w = width > x ? width - x : 0;
+        int64_t pad = cell_width - copy_w;
+        int64_t left = pad / 2 + (pad & 1);
+        uint8_t *cell = out + i * height * cell_width;
+        for (int64_t r = 0; r < height; r++) {
+            uint8_t *row = cell + r * cell_width;
+            memset(row, 255, (size_t)cell_width);
+            memcpy(row + left, img + r * width + x, (size_t)copy_w);
+        }
+        x += w;
+    }
+    return 0;
+}

@@ -111,10 +111,11 @@ class Trainer:
         epoch = 0
         print(f"training: {self.n_params()/1e6:.2f}M params, "
               f"{len(self.train_ds)} clips, target {total} steps")
+        from visual_onoma_to_wave_tpu.data.prefetch import prefetch
         while step < total:
             epoch += 1
-            for batch in self.train_ds.batches(
-                    group_size=4, seed=self.config.train.seed + epoch):
+            for batch in prefetch(self.train_ds.batches(
+                    group_size=4, seed=self.config.train.seed + epoch)):
                 jb = self._place(_jit_batch(batch))
                 self._maybe_profile(step)
                 self.timer.start()
