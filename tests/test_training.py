@@ -115,3 +115,65 @@ def test_grad_clip_bounds_update():
     step_fn = make_train_step(model, tx, use_image=False)
     state, losses = step_fn(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(losses["grad_norm"]))
+
+
+def test_bf16_compute_overfit_and_closeness():
+    """bfloat16 compute (f32 params/LN/softmax/mel-head) must train — loss
+    decreases on a tiny overfit — and its forward must stay close to f32."""
+    import jax
+    import jax.numpy as jnp
+    from visual_onoma_to_wave_tpu.models import VTTS
+    from visual_onoma_to_wave_tpu.training import (
+        create_train_state, make_optimizer, make_train_step)
+
+    kw = dict(n_vocab=16, n_audiotype=2, hidden=32, encoder_layers=1,
+              decoder_layers=1, n_head=2, d_inner=64, ffn_kernel=(3, 1),
+              max_seq_len=64, max_mel_len=64, n_mels=16, vfe_layers=1,
+              energy_stats=(-2.0, 2.0, 0.0, 1.0))
+    rng = np.random.default_rng(0)
+    B, C = 4, 4
+    batch = {
+        "audiotypes": (np.arange(B) % 2).astype(np.int32),
+        "texts": rng.integers(1, 16, (B, C)).astype(np.int32),
+        "src_lens": np.full((B,), C, np.int32),
+        "image_cells": rng.uniform(0, 1, (B, C, 24, 30)).astype(np.float32),
+        "energies": rng.standard_normal((B, C)).astype(np.float32),
+        "durations": np.full((B, C), 8, np.int32),
+        "mels": rng.standard_normal((B, 64, 16)).astype(np.float32),
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    model16 = VTTS(**kw, dtype=jnp.bfloat16)
+    tx = make_optimizer(init_lr=2e-3, warmup_steps=5)
+    state = create_train_state(model16, tx, jax.random.PRNGKey(0), batch, True)
+    # params must remain f32
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree.leaves(state.params))
+    step = make_train_step(model16, tx, True)
+    key = jax.random.PRNGKey(1)
+    first = None
+    for i in range(30):
+        state, losses = step(state, batch, key)
+        if first is None:
+            first = float(losses["total_loss"])
+    last = float(losses["total_loss"])
+    assert np.isfinite(last) and last < first * 0.8, (first, last)
+
+    # forward closeness vs f32 with identical params
+    model32 = VTTS(**kw)
+    out16 = model16.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        audiotypes=batch["audiotypes"], texts=batch["texts"],
+        src_lens=batch["src_lens"], image_cells=batch["image_cells"],
+        energy_targets=batch["energies"], duration_targets=batch["durations"],
+        use_image=True, deterministic=True)
+    out32 = model32.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        audiotypes=batch["audiotypes"], texts=batch["texts"],
+        src_lens=batch["src_lens"], image_cells=batch["image_cells"],
+        energy_targets=batch["energies"], duration_targets=batch["durations"],
+        use_image=True, deterministic=True)
+    m16, m32 = np.asarray(out16["postnet_mel"]), np.asarray(out32["postnet_mel"])
+    assert m16.dtype == np.float32
+    denom = np.abs(m32).mean() + 1e-6
+    assert np.abs(m16 - m32).mean() / denom < 0.1

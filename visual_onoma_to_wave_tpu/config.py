@@ -164,6 +164,10 @@ class TrainConfig:
     data_parallel_devices: int = 0
     use_image: bool = True
     seed: int = 1234
+    # "float32" (default, strict parity) or "bfloat16": compute precision of
+    # the acoustic-model FFT stacks + PostNet (params/LN/softmax/loss stay
+    # f32) — the TPU mixed-precision training mode the reference lacks.
+    compute_dtype: str = "float32"
     # Static-shape bucketing (replaces the sort-into-groups trick at
     # reference scripts/dataset.py:187-202).
     max_text_len: int = 24

@@ -44,31 +44,36 @@ class MultiHeadAttention(nn.Module):
     d_k: int
     d_v: int
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32   # compute precision; params stay f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray, deterministic: bool):
         # x: (B, T, D); attn_mask: (B, T, T) True = masked (padding)
         B, T, _ = x.shape
         residual = x
-        q = nn.Dense(self.n_head * self.d_k, name="w_qs")(x)
-        k = nn.Dense(self.n_head * self.d_k, name="w_ks")(x)
-        v = nn.Dense(self.n_head * self.d_v, name="w_vs")(x)
+        q = nn.Dense(self.n_head * self.d_k, dtype=self.dtype, name="w_qs")(x)
+        k = nn.Dense(self.n_head * self.d_k, dtype=self.dtype, name="w_ks")(x)
+        v = nn.Dense(self.n_head * self.d_v, dtype=self.dtype, name="w_vs")(x)
         q = q.reshape(B, T, self.n_head, self.d_k).transpose(0, 2, 1, 3)
         k = k.reshape(B, T, self.n_head, self.d_k).transpose(0, 2, 1, 3)
         v = v.reshape(B, T, self.n_head, self.d_v).transpose(0, 2, 1, 3)
 
-        scale = 1.0 / jnp.sqrt(jnp.asarray(self.d_k, x.dtype))
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        scale = 1.0 / jnp.sqrt(jnp.asarray(self.d_k, jnp.float32))
+        # logits, masking and softmax in f32 regardless of compute dtype
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                          preferred_element_type=jnp.float32) * scale
         attn = jnp.where(attn_mask[:, None, :, :], -jnp.inf, attn)
         attn = nn.softmax(attn, axis=-1)
         # fully-masked rows (padding queries) softmax to nan; zero them like
         # the reference's post-block mask-fill makes them irrelevant anyway
-        attn = jnp.nan_to_num(attn)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        attn = jnp.nan_to_num(attn).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v.astype(self.dtype))
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.n_head * self.d_v)
-        out = nn.Dense(self.d_model, name="fc")(out)
+        out = nn.Dense(self.d_model, dtype=self.dtype, name="fc")(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
-        return nn.LayerNorm(name="layer_norm")(out + residual)
+        # post-LN in f32 (flax promotes with the f32 scale/bias params)
+        return nn.LayerNorm(name="layer_norm")(
+            out.astype(jnp.float32) + residual.astype(jnp.float32))
 
 
 class PositionwiseFeedForward(nn.Module):
@@ -79,15 +84,19 @@ class PositionwiseFeedForward(nn.Module):
     d_hid: int
     kernel_size: tuple[int, int] = (9, 1)
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool):
         residual = x
-        h = nn.Conv(self.d_hid, (self.kernel_size[0],), padding="SAME", name="w_1")(x)
+        h = nn.Conv(self.d_hid, (self.kernel_size[0],), padding="SAME",
+                    dtype=self.dtype, name="w_1")(x)
         h = nn.relu(h)
-        h = nn.Conv(self.d_in, (self.kernel_size[1],), padding="SAME", name="w_2")(h)
+        h = nn.Conv(self.d_in, (self.kernel_size[1],), padding="SAME",
+                    dtype=self.dtype, name="w_2")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.LayerNorm(name="layer_norm")(h + residual)
+        return nn.LayerNorm(name="layer_norm")(
+            h.astype(jnp.float32) + residual.astype(jnp.float32))
 
 
 class FFTBlock(nn.Module):
@@ -101,18 +110,19 @@ class FFTBlock(nn.Module):
     d_inner: int
     kernel_size: tuple[int, int]
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, pad_mask, attn_mask, deterministic: bool):
         # pad_mask: (B, T) True = padding; attn_mask: (B, T, T)
         x = MultiHeadAttention(
             self.n_head, self.d_model, self.d_k, self.d_v, self.dropout,
-            name="slf_attn",
+            dtype=self.dtype, name="slf_attn",
         )(x, attn_mask, deterministic)
         x = jnp.where(pad_mask[:, :, None], 0.0, x)
         x = PositionwiseFeedForward(
             self.d_model, self.d_inner, self.kernel_size, self.dropout,
-            name="pos_ffn",
+            dtype=self.dtype, name="pos_ffn",
         )(x, deterministic)
         x = jnp.where(pad_mask[:, :, None], 0.0, x)
         return x
@@ -155,20 +165,21 @@ class PostNet(nn.Module):
     kernel_size: int = 5
     n_convolutions: int = 5
     dropout: float = 0.5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool):
-        # x: (B, T, n_mels)
+        # x: (B, T, n_mels); convs in compute dtype, BatchNorm stats f32
         h = x
         for i in range(self.n_convolutions - 1):
             h = nn.Conv(self.embedding_dim, (self.kernel_size,), padding="SAME",
-                        name=f"conv_{i}")(h)
+                        dtype=self.dtype, name=f"conv_{i}")(h)
             h = nn.BatchNorm(use_running_average=deterministic,
-                             name=f"bn_{i}")(h)
+                             name=f"bn_{i}")(h.astype(jnp.float32))
             h = jnp.tanh(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.n_mel_channels, (self.kernel_size,), padding="SAME",
-                    name=f"conv_{self.n_convolutions - 1}")(h)
+                    name=f"conv_{self.n_convolutions - 1}")(h.astype(jnp.float32))
         h = nn.BatchNorm(use_running_average=deterministic,
                          name=f"bn_{self.n_convolutions - 1}")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)

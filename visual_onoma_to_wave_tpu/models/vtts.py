@@ -41,6 +41,7 @@ class FFTStack(nn.Module):
     d_inner: int
     kernel_size: tuple[int, int]
     dropout: float
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, pad_mask, deterministic: bool):
@@ -51,7 +52,8 @@ class FFTStack(nn.Module):
         for i in range(self.n_layers):
             x = FFTBlock(
                 self.d_model, self.n_head, d_k, d_k, self.d_inner,
-                self.kernel_size, self.dropout, name=f"layer_{i}",
+                self.kernel_size, self.dropout, dtype=self.dtype,
+                name=f"layer_{i}",
             )(x, pad_mask, attn_mask, deterministic)
         return x
 
@@ -91,6 +93,9 @@ class VTTS(nn.Module):
     energy_stats: tuple[float, float, float, float] = (-1.0, 1.0, 0.0, 1.0)
     kurtosis_stats: tuple[float, float, float, float] = (-1.0, 1.0, 0.0, 1.0)
     multi_audiotype: bool = True
+    # compute precision for the FFT stacks + PostNet (params, LayerNorm,
+    # softmax, variance predictors and the mel head stay f32)
+    dtype: jnp.dtype = jnp.float32
 
     @classmethod
     def from_config(cls, config: Config, metadata: Optional[DatasetMetadata] = None,
@@ -123,6 +128,9 @@ class VTTS(nn.Module):
             energy_quantization=m.variance_embedding.energy_quantization,
             kurtosis_quantization=m.variance_embedding.kurtosis_quantization,
             multi_audiotype=m.multi_audiotype,
+            dtype=(jnp.bfloat16
+                   if config.train.compute_dtype in ("bfloat16", "bf16")
+                   else jnp.float32),
         )
         if metadata is not None:
             kwargs["energy_stats"] = (
@@ -168,7 +176,8 @@ class VTTS(nn.Module):
         x = emb + self._position_table(C)[None, :, :]
         x = FFTStack(
             self.encoder_layers, self.hidden, self.n_head, self.d_inner,
-            self.ffn_kernel, self.encoder_dropout, name="encoder",
+            self.ffn_kernel, self.encoder_dropout, dtype=self.dtype,
+            name="encoder",
         )(x, src_pad_mask, deterministic)
 
         # --------------------- audiotype conditioning ---------------------
@@ -202,12 +211,13 @@ class VTTS(nn.Module):
         x = x + self._position_table(T)[None, :, :]
         x = FFTStack(
             self.decoder_layers, self.hidden, self.n_head, self.d_inner,
-            self.ffn_kernel, self.decoder_dropout, name="decoder",
+            self.ffn_kernel, self.decoder_dropout, dtype=self.dtype,
+            name="decoder",
         )(x, mel_pad_mask, deterministic)
 
-        mel = nn.Dense(self.n_mels, name="mel_linear")(x)
+        mel = nn.Dense(self.n_mels, name="mel_linear")(x.astype(jnp.float32))
         postnet_mel = mel + PostNet(
-            n_mel_channels=self.n_mels, name="postnet",
+            n_mel_channels=self.n_mels, dtype=self.dtype, name="postnet",
         )(mel, deterministic)
 
         return {
