@@ -207,14 +207,21 @@ class Trainer:
         ])
         self.train_log.figure(step, "Synth/mel", fig)
         if self.vocoder_params is not None:
-            from visual_onoma_to_wave_tpu.models.hifigan import vocoder_infer
+            from visual_onoma_to_wave_tpu.models.vocoder import vocoder_infer
             import jax.numpy as jnp
-            wav, _ = vocoder_infer(
-                self.vocoder_params, jnp.asarray(mel_pred[None, :max(mel_len, 1)]))
-            wav_np = np.asarray(wav[0])
-            self.train_log.audio(step, "Synth/audio", wav_np,
-                                 self.config.audio.sampling_rate)
             from visual_onoma_to_wave_tpu.data.audio_io import write_wav
             name = batch["names"][0]
-            write_wav(self.result_dir / "Val" / f"{step}_{name}_synthesis.wav",
-                      np.clip(wav_np, -1, 1), self.config.audio.sampling_rate)
+            sr = self.config.audio.sampling_rate
+            kind = self.config.model.vocoder_model
+            # synthesized (predicted durations) + reconstruction from the
+            # ground-truth mel — the pair the reference writes per sample
+            # (reference utils/tools.py:180-241, evaluate.py:58-103)
+            for tag, m in (("synthesis", mel_pred[:max(mel_len, 1)]),
+                           ("reconstruction", batch["mels"][0][:gt_len])):
+                wav, _ = vocoder_infer(self.vocoder_params,
+                                       jnp.asarray(np.asarray(m)[None]),
+                                       model=kind)
+                wav_np = np.asarray(wav[0])
+                self.train_log.audio(step, f"Synth/{tag}", wav_np, sr)
+                write_wav(self.result_dir / "Val" / f"{step}_{name}_{tag}.wav",
+                          np.clip(wav_np, -1, 1), sr)
