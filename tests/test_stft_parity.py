@@ -164,3 +164,27 @@ def test_char_level_energy_matches_reference_loop(audio):
         vstft.char_level_energy(jnp.asarray(energy), jnp.asarray(dur_padded), max_chars)
     )
     np.testing.assert_allclose(ours, golden, rtol=1e-4, atol=1e-4)
+
+
+def test_griffin_lim_reconstructs_tone():
+    """Griffin-Lim from a magnitude spectrogram must reconstruct a tone whose
+    re-analyzed magnitude matches the target (legacy inverse path parity,
+    reference audio/audio_processing.py:66-82)."""
+    import jax
+
+    sr, n_fft, hop = 22050, 1024, 256
+    t = np.arange(4 * 1024) / sr
+    sig = (0.6 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    window = jnp.asarray(vstft.hann_window(n_fft))
+    mag = vstft.magnitude_spectrogram(jnp.asarray(sig), window, n_fft, hop, n_fft)
+
+    rec = vstft.griffin_lim(mag, window, jax.random.PRNGKey(0), n_fft, hop,
+                            n_fft, n_iters=40)
+    rec = np.asarray(rec)
+    assert rec.shape[0] >= sig.shape[0] - hop
+    mag2 = vstft.magnitude_spectrogram(jnp.asarray(rec[: sig.shape[0]]),
+                                       window, n_fft, hop, n_fft)
+    a = np.asarray(mag)[:, 2:-2]
+    b = np.asarray(mag2)[:, 2:-2]
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 0.15, rel
