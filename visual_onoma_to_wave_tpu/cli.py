@@ -101,6 +101,12 @@ def cmd_synthesize(args):
     cfg = load_config(args.config)
     restore = args.restore_step if args.restore_step is not None else -1
     trainer = Trainer(cfg, restore_step=restore, use_mesh=False)
+    if getattr(args, "acoustic", None):
+        # converted reference checkpoint (orbax dir from convert-acoustic)
+        variables = load_params(args.acoustic)
+        trainer.state = trainer.state.replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", trainer.state.batch_stats))
     vocoder_params = load_params(args.vocoder) if args.vocoder else None
     synth = Synthesizer(cfg, trainer.model, trainer.state, trainer.metadata,
                         trainer.train_ds.symbol_map, vocoder_params)
@@ -124,6 +130,16 @@ def cmd_convert_vocoder(args):
         params = load_torch_generator(args.torch_ckpt)
     save_params(args.out_dir, params)
     print(f"converted {args.kind} generator -> {args.out_dir}")
+
+
+def cmd_convert_acoustic(args):
+    from visual_onoma_to_wave_tpu.models.convert_acoustic import (
+        load_torch_acoustic,
+    )
+    from visual_onoma_to_wave_tpu.utils.checkpoint import save_params
+    variables = load_torch_acoustic(args.torch_ckpt)
+    save_params(args.out_dir, variables)
+    print(f"converted vTTS acoustic checkpoint -> {args.out_dir}")
 
 
 def cmd_bench(args):
@@ -177,8 +193,17 @@ def main(argv=None):
     s.add_argument("--d-control", type=float, default=1.0)
     s.add_argument("--restore-step", type=int, default=None)
     s.add_argument("--vocoder", default=None)
+    s.add_argument("--acoustic", default=None,
+                   help="converted torch acoustic params dir "
+                        "(see convert-acoustic)")
     s.add_argument("--out", default="out.wav")
     s.set_defaults(fn=cmd_synthesize)
+
+    s = sub.add_parser("convert-acoustic",
+                       help="torch vTTS ckpt (200000.pth.tar) -> orbax params")
+    s.add_argument("torch_ckpt")
+    s.add_argument("out_dir")
+    s.set_defaults(fn=cmd_convert_acoustic)
 
     s = sub.add_parser("convert-vocoder",
                        help="torch vocoder ckpt -> orbax params")

@@ -72,7 +72,7 @@ class MultiHeadAttention(nn.Module):
         out = nn.Dense(self.d_model, dtype=self.dtype, name="fc")(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         # post-LN in f32 (flax promotes with the f32 scale/bias params)
-        return nn.LayerNorm(name="layer_norm")(
+        return nn.LayerNorm(epsilon=1e-5, name="layer_norm")(
             out.astype(jnp.float32) + residual.astype(jnp.float32))
 
 
@@ -95,7 +95,7 @@ class PositionwiseFeedForward(nn.Module):
         h = nn.Conv(self.d_in, (self.kernel_size[1],), padding="SAME",
                     dtype=self.dtype, name="w_2")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.LayerNorm(name="layer_norm")(
+        return nn.LayerNorm(epsilon=1e-5, name="layer_norm")(
             h.astype(jnp.float32) + residual.astype(jnp.float32))
 
 
@@ -143,11 +143,11 @@ class VariancePredictor(nn.Module):
     def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray, deterministic: bool):
         h = nn.Conv(self.filter_size, (self.kernel_size,), padding="SAME", name="conv1d_1")(x)
         h = nn.relu(h)
-        h = nn.LayerNorm(name="layer_norm_1")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="layer_norm_1")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.filter_size, (self.kernel_size,), padding="SAME", name="conv1d_2")(h)
         h = nn.relu(h)
-        h = nn.LayerNorm(name="layer_norm_2")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="layer_norm_2")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         out = nn.Dense(1, name="linear_layer")(h)[..., 0]
         return jnp.where(pad_mask, 0.0, out)
@@ -175,12 +175,12 @@ class PostNet(nn.Module):
             h = nn.Conv(self.embedding_dim, (self.kernel_size,), padding="SAME",
                         dtype=self.dtype, name=f"conv_{i}")(h)
             h = nn.BatchNorm(use_running_average=deterministic,
-                             name=f"bn_{i}")(h.astype(jnp.float32))
+                             momentum=0.9, name=f"bn_{i}")(h.astype(jnp.float32))
             h = jnp.tanh(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.n_mel_channels, (self.kernel_size,), padding="SAME",
                     name=f"conv_{self.n_convolutions - 1}")(h.astype(jnp.float32))
         h = nn.BatchNorm(use_running_average=deterministic,
-                         name=f"bn_{self.n_convolutions - 1}")(h)
+                         momentum=0.9, name=f"bn_{self.n_convolutions - 1}")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return h

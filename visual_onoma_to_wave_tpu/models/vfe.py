@@ -77,7 +77,7 @@ class VisualFeatureExtractor(nn.Module):
             )(x)
             if self.embed_normalize:
                 x = nn.BatchNorm(
-                    use_running_average=deterministic,
+                    use_running_average=deterministic, momentum=0.9,
                     scale_init=uniform_init(), bias_init=uniform_init(),
                     name=f"bn_{i}",
                 )(x)
