@@ -1,0 +1,140 @@
+"""CLI-level end-to-end: format -> prepare-tg -> preprocess -> train ->
+evaluate -> synthesize, all through `cli.main` on a synthetic raw corpus.
+
+This exercises arg parsing, config loading and command wiring — the
+library-level equivalents are covered by test_pipeline_e2e.py.
+"""
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from visual_onoma_to_wave_tpu.cli import main as cli_main
+from visual_onoma_to_wave_tpu.data.audio_io import write_wav
+
+SR_RAW = 48000
+
+
+def _tone_clip(rng, n_chars, sec_per_char=0.18, lead=0.12, tail=0.12):
+    """48 kHz tone clip + julius-style .lab lines (seconds)."""
+    total = lead + n_chars * sec_per_char + tail
+    t = np.arange(int(total * SR_RAW)) / SR_RAW
+    wav = np.zeros_like(t, dtype=np.float32)
+    lab = [f"0.0000 {lead:.4f} silB"]
+    cur = lead
+    for i in range(n_chars):
+        f = 300.0 * (1.3 ** i)
+        seg = (t >= cur) & (t < cur + sec_per_char)
+        env = np.hanning(seg.sum()).astype(np.float32)
+        wav[seg] = 0.5 * np.sin(2 * np.pi * f * t[seg]).astype(np.float32) * env
+        lab.append(f"{cur:.4f} {cur + sec_per_char:.4f} X")  # placeholder
+        cur += sec_per_char
+    lab.append(f"{cur:.4f} {total:.4f} silE")
+    return wav, lab
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_corpus")
+    raw_root = root / "RWCP-SSD"
+    ono_root = root / "onoma"
+    texts = {"000": "パン", "001": "パンパ", "013": "トント", "002": "カッ"}
+    rng = np.random.default_rng(0)
+    for label in ("drum",):
+        (raw_root / label / "48khz").mkdir(parents=True)
+        od = ono_root / "nospeech" / "drummy" / label
+        od.mkdir(parents=True)
+        for num, text in texts.items():
+            clip = f"c1_{label}_{num}_0980"
+            wav, lab = _tone_clip(rng, len(text))
+            # write 16-bit little-endian raw
+            (raw_root / label / "48khz" / f"{clip}.raw").write_bytes(
+                (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes())
+            # .ono: worker,onomatopoeia,self_score ; .acc: worker,rater,score
+            (od / f"{clip}.ono").write_text(f"w1,{text},5.0\n")
+            (od / f"{clip}.acc").write_text("w1,w2,4.0\nw1,w3,5.0\n")
+            lab_lines = []
+            ci = 0
+            for line in lab:
+                if line.endswith(" X"):
+                    a, b, _ = line.split(" ")
+                    lab_lines.append(f"{a} {b} {text[ci]}")
+                    ci += 1
+                else:
+                    lab_lines.append(line)
+            (od / f"{clip}_w1.lab").write_text("\n".join(lab_lines) + "\n")
+
+    cfg = {
+        "path": {
+            "corpus": str(ono_root),
+            "formatted": str(root / "formatted"),
+            "preprocessed": str(root / "preprocessed"),
+            "font": "",
+            "ckpt": str(root / "out" / "ckpt"),
+            "log": str(root / "out" / "log"),
+            "result": str(root / "out" / "result"),
+        },
+        "dataset": {"extract_labels": ["drum"], "valtest_id": [13],
+                    "confidence_score_border": 3.0,
+                    "acceptance_score_border": 2.5},
+        "model": {
+            "transformer": {"encoder_layer": 1, "decoder_layer": 1,
+                            "encoder_hidden": 32, "decoder_hidden": 32,
+                            "conv_filter_size": 64,
+                            "conv_kernel_size": [3, 1]},
+            "visual_feature_extractor": {"layer_num": 1},
+            "max_seq_len": 512,
+        },
+        "train": {
+            "optimizer": {"batch_size": 2, "warm_up_step": 10},
+            "step": {"total_step": 2, "log_step": 1, "synth_step": 100,
+                     "val_step": 100, "save_step": 100},
+            "max_mel_len": 512, "seed": 0,
+        },
+    }
+    cfg_path = root / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    return root, str(cfg_path), str(raw_root)
+
+
+def test_cli_full_pipeline(corpus, capsys):
+    root, cfg, raw_root = corpus
+
+    cli_main(["format", cfg, raw_root])
+    assert (root / "formatted" / "text" / "drum" / "data.txt").exists()
+    assert (root / "formatted" / "audio" / "drum").glob("*.wav")
+    assert list((root / "formatted" / "lab" / "drum").glob("*.lab"))
+
+    cli_main(["prepare-tg", cfg])
+    assert list((root / "formatted" / "TextGrid" / "drum").glob("*.TextGrid"))
+    assert (root / "formatted" / "dataset_length.json").exists()
+
+    cli_main(["preprocess", cfg])
+    pre = root / "preprocessed"
+    for f in ("train.txt", "val.txt", "test.txt", "stats.json",
+              "audiotype.json", "visual_text.json"):
+        assert (pre / f).exists(), f
+    train_rows = (pre / "train.txt").read_text().splitlines()
+    valtest_rows = ((pre / "val.txt").read_text().splitlines()
+                    + (pre / "test.txt").read_text().splitlines())
+    assert train_rows and valtest_rows
+    # valtest routing: numbering 013 only goes to val/test, never train
+    assert all(r.split("|")[0].split("-")[2] != "013" for r in train_rows
+               if r.strip())
+    assert all(r.split("|")[0].split("-")[2] == "013" for r in valtest_rows
+               if r.strip())
+
+    cli_main(["train", cfg])
+    assert list((root / "out" / "ckpt").iterdir())
+
+    cli_main(["evaluate", cfg])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    losses = json.loads(out)
+    assert np.isfinite(losses["total_loss"])
+
+    wav_out = root / "synth.wav"
+    cli_main(["synthesize", cfg, "--text", "パン", "--audiotype", "drum",
+              "--out", str(wav_out)])
+    out = capsys.readouterr().out
+    assert "mel frames" in out
