@@ -142,8 +142,9 @@ def read_textgrid(path: str | pathlib.Path,
 def prepare_textgrids(formatted_dir: str | pathlib.Path,
                       labels: list[str] | None = None) -> dict:
     """Convert every lab/<label>/*.lab into TextGrid/<label>/*.TextGrid and
-    accumulate per-class character-length stats (mean/std via lognorm fit of
-    the reference is simplified to sample stats; consumers only use the mean).
+    accumulate per-class character-length stats (mean/median/mode/max/min,
+    reference 02_prepare_tg.py:28-53) plus the reference's "all param"
+    global (max, min) row.
 
     Writes formatted_dir/dataset_length.json and returns it.
     """
@@ -167,13 +168,21 @@ def prepare_textgrids(formatted_dir: str | pathlib.Path,
             lengths.append(n_chars)
         if lengths:
             arr = np.asarray(lengths, dtype=np.float64)
+            vals, counts = np.unique(arr, return_counts=True)
             stats[label] = {
                 "mean": float(arr.mean()),
+                "median": float(np.median(arr)),
+                "mode": int(vals[np.argmax(counts)]),
                 "std": float(arr.std()),
                 "max": int(arr.max()),
                 "min": int(arr.min()),
                 "count": int(arr.size),
             }
+    if stats:
+        stats["all param"] = {
+            "max": max(s["max"] for s in stats.values()),
+            "min": min(s["min"] for s in stats.values()),
+        }
     with open(root / "dataset_length.json", "w") as f:
         json.dump(stats, f)
     return stats
