@@ -189,14 +189,17 @@ class Synthesizer:
         out = self._synth_step(self.state, batch,
                                e_control=e_control, d_control=d_control)
         mel_lens = np.asarray(out["mel_lens"])[:bsz].astype(int)
-        mels = np.asarray(out["postnet_mel"])[:bsz]
+        mels_padded = np.asarray(out["postnet_mel"])  # (b_pad, T, M)
+        mels = mels_padded[:bsz]
         durs = np.asarray(out["duration_rounded"])[:bsz].astype(np.int32)
         energies = (np.asarray(out["energy_pred"])[:bsz]
                     if out["energy_pred"] is not None else None)
 
         wavs = [None] * bsz
         if self.vocoder_params is not None:
-            wavs = self._vocode_padded(mels, [max(int(l), 1) for l in mel_lens])
+            # vocode at the bucketed batch size so the executable is reused
+            lens_padded = [max(int(l), 1) for l in mel_lens] + [1] * (b_pad - bsz)
+            wavs = self._vocode_padded(mels_padded, lens_padded)[:bsz]
 
         results = []
         for i, text in enumerate(texts):
