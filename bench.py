@@ -16,6 +16,7 @@ jax.device_get of a small in-jit checksum, after two synced warmup runs
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -50,7 +51,8 @@ def main():
     from visual_onoma_to_wave_tpu.models import VTTS
     from visual_onoma_to_wave_tpu.models.hifigan import HiFiGANGenerator
 
-    B, C, MAX_MEL = 16, 8, 512
+    B = int(os.environ.get("BENCH_BATCH", "16"))
+    C, MAX_MEL = 8, 512
     HOP, SR = 256, 22050
 
     cfg = Config()
