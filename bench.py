@@ -51,8 +51,9 @@ def main():
     from visual_onoma_to_wave_tpu.models import VTTS
     from visual_onoma_to_wave_tpu.models.hifigan import HiFiGANGenerator
 
-    # serving batch: throughput scales with batch on v5e (16->1164x, 64->1704x RT)
-    B = int(os.environ.get("BENCH_BATCH", "64"))
+    # serving batch: RTF scales with batch on v5e and saturates at 128
+    # (16 -> 1164x, 64 -> 1704x, 128 -> 2433x, 256 -> 2313x)
+    B = int(os.environ.get("BENCH_BATCH", "128"))
     C, MAX_MEL = 8, 512
     HOP, SR = 256, 22050
 
