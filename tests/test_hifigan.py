@@ -153,3 +153,35 @@ def test_bf16_compute_path_close_to_f32():
     assert np.abs(low - ref).max() < 0.05
     denom = np.linalg.norm(ref) + 1e-9
     assert np.linalg.norm(low - ref) / denom < 0.05
+
+
+def test_chunked_vocoding_sample_exact():
+    """Chunked (streaming) vocoding with the computed receptive-field halo
+    must match the full forward sample-exactly away from sequence edges —
+    and everywhere, since edge padding matches torch zero-pad semantics."""
+    from visual_onoma_to_wave_tpu.models.hifigan import (
+        receptive_halo_frames, vocoder_infer_chunked)
+
+    rng = np.random.default_rng(5)
+    state = make_state(rng)
+    params = {"params": convert_torch_state_dict(
+        {k: v.numpy() for k, v in state.items()},
+        upsample_rates=UPS, resblock_kernel_sizes=RKS,
+        resblock_dilations=RDS)}
+    gen = HiFiGANGenerator(
+        upsample_rates=UPS, upsample_kernel_sizes=UPK,
+        upsample_initial_channel=CH0, resblock_kernel_sizes=RKS,
+        resblock_dilations=RDS, n_mels=N_MELS)
+    mel = jnp.asarray(rng.standard_normal((2, 43, N_MELS)).astype(np.float32))
+
+    full = np.asarray(gen.apply(params, mel))
+    halo = receptive_halo_frames(UPS, UPK, RKS, RDS)
+    chunked = np.asarray(vocoder_infer_chunked(
+        params, mel, chunk_frames=16, gen=gen))
+    assert chunked.shape == full.shape
+    h = halo * 256  # true edges differ (zero pad vs reflect of nothing)
+    np.testing.assert_allclose(chunked[:, h:-h], full[:, h:-h], atol=1e-5)
+    # an insufficient halo must NOT be sample-exact (sanity of the bound)
+    bad = np.asarray(vocoder_infer_chunked(
+        params, mel, chunk_frames=16, halo_frames=1, gen=gen))
+    assert np.abs(bad[:, h:-h] - full[:, h:-h]).max() > 1e-4

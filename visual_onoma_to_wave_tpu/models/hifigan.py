@@ -209,6 +209,77 @@ def _infer(gen, params, mel):
     return gen.apply(params, mel)
 
 
+def receptive_halo_frames(
+    upsample_rates=(8, 8, 2, 2),
+    upsample_kernel_sizes=(16, 16, 4, 4),
+    resblock_kernel_sizes=(3, 7, 11),
+    resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+    pre_kernel: int = 7,
+    post_kernel: int = 7,
+) -> int:
+    """One-sided receptive field of the generator in INPUT mel frames.
+
+    A mel frame's output samples depend on at most this many neighbouring
+    frames on each side, so chunked vocoding with this halo is sample-exact
+    away from the true sequence edges.
+    """
+    halo = (post_kernel - 1) // 2  # samples at output rate
+    for u, k, in zip(reversed(upsample_rates),
+                     reversed(upsample_kernel_sizes)):
+        # MRF half-span at this stage's rate: max over branches of
+        # sum_j [d_j*(k-1)/2 + (k-1)/2]
+        mrf = max(
+            sum((d + 1) * (rk - 1) // 2 for d in rd)
+            for rk, rd in zip(resblock_kernel_sizes, resblock_dilations)
+        )
+        halo += mrf
+        # transposed conv: output position n draws on inputs within
+        # ceil((k - 1 - pad) / u) of n//u; then move to the input rate
+        pad = (k - u) // 2
+        halo = -(-(halo + k - 1 - pad) // u)
+    return halo + (pre_kernel - 1) // 2
+
+
+def vocoder_infer_chunked(
+    params,
+    mel: jnp.ndarray,
+    chunk_frames: int = 256,
+    halo_frames: int | None = None,
+    hop_length: int = 256,
+    gen: HiFiGANGenerator | None = None,
+) -> jnp.ndarray:
+    """Streaming-style chunked vocoding: sample-exact vs the full forward.
+
+    Splits a (B, T, M) mel into overlapping windows of
+    chunk_frames + 2*halo_frames, vocodes them as one larger batch (bounded
+    per-step memory/latency — the production path for long or streamed
+    sequences), and stitches the center chunk_frames * hop samples of each.
+
+    halo_frames defaults to the generator's true receptive field.
+    """
+    if gen is None:
+        gen = HiFiGANGenerator()
+    if halo_frames is None:
+        halo_frames = receptive_halo_frames(
+            gen.upsample_rates, gen.upsample_kernel_sizes,
+            gen.resblock_kernel_sizes, gen.resblock_dilations)
+    b, t, m = mel.shape
+    n_chunks = -(-t // chunk_frames)
+    t_pad = n_chunks * chunk_frames
+    padded = jnp.pad(mel, ((0, 0), (halo_frames, t_pad - t + halo_frames),
+                           (0, 0)))
+    starts = jnp.arange(n_chunks) * chunk_frames
+    win = chunk_frames + 2 * halo_frames
+    idx = starts[:, None] + jnp.arange(win)[None, :]           # (N, win)
+    windows = padded[:, idx, :]                                # (B, N, win, M)
+    wav = _infer(gen, params, windows.reshape(b * n_chunks, win, m))
+    wav = wav.reshape(b, n_chunks, win * (
+        wav.shape[-1] // win))                                 # (B, N, win*hop)
+    hop = wav.shape[-1] // win
+    core = wav[:, :, halo_frames * hop: (halo_frames + chunk_frames) * hop]
+    return core.reshape(b, t_pad * hop)[:, : t * hop]
+
+
 def vocoder_infer(params, mels: jnp.ndarray, lengths=None,
                   hop_length: int = 256, gen: HiFiGANGenerator | None = None):
     """Batched mel -> waveform (reference utils/model.py:73-98 semantics,
