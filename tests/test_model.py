@@ -118,3 +118,28 @@ def test_param_count_reasonable(model, params):
     # reference reports ~28M params at startup (SURVEY.md §2); the visual-text
     # configuration should land in the same ballpark
     assert 10e6 < n < 60e6, f"param count {n}"
+
+
+def test_kurtosis_conditioned_model(batch):
+    """The optional kurtosis predictor/embedding path (model.yaml
+    is_kurtosis_condition, off in the ICASSP config) trains and infers."""
+    m = VTTS(n_vocab=40, n_audiotype=10, hidden=32, encoder_layers=1,
+             decoder_layers=1, n_head=2, d_inner=64, ffn_kernel=(3, 1),
+             max_seq_len=64, max_mel_len=T, n_mels=80, vfe_layers=1,
+             is_energy=True, is_kurtosis=True, vp_filter=32,
+             energy_stats=(-2.0, 2.0, 0.0, 1.0),
+             kurtosis_stats=(1.0, 90.0, 10.0, 5.0),
+             kurtosis_quantization="log")
+    variables = m.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, use_image=True, deterministic=True)
+    out = m.apply(variables, **batch, use_image=True, deterministic=True)
+    assert out["kurtosis_pred"].shape == (B, C)
+    assert np.isfinite(np.asarray(out["kurtosis_pred"])).all()
+    assert "kurtosis_predictor" in variables["params"]["variance_adaptor"]
+    # inference branch (no targets) uses de/re-normalized predictions
+    infer_in = {k: v for k, v in batch.items()
+                if k not in ("energy_targets", "kurtosis_targets",
+                             "duration_targets")}
+    out = m.apply(variables, **infer_in, use_image=True, deterministic=True)
+    assert np.isfinite(np.asarray(out["postnet_mel"])).all()
