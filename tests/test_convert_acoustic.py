@@ -88,6 +88,8 @@ def make_state(rng) -> dict:
     vp("variance_adaptor.duration_predictor")
     vp("variance_adaptor.energy_predictor")
     s["variance_adaptor.energy_embedding.weight"] = _t(rng, 256, H)
+    vp("variance_adaptor.kurtosis_predictor")
+    s["variance_adaptor.kurt_embedding.weight"] = _t(rng, 256, H)
     fft_stack("decoder", DEC_L)
     lin("mel_linear", 80, H)
     for i in range(NPOST):
@@ -103,8 +105,9 @@ def _model():
                 encoder_layers=ENC_L, decoder_layers=DEC_L, n_head=HEADS,
                 d_inner=DINNER, ffn_kernel=(9, 1), max_seq_len=64,
                 max_mel_len=64, n_mels=80, vfe_layers=VFE_L,
-                vfe_kernel=(3, 3), is_energy=True, vp_filter=H,
-                energy_stats=(-2.0, 2.0, 0.0, 1.0))
+                vfe_kernel=(3, 3), is_energy=True, is_kurtosis=True,
+                vp_filter=H, energy_stats=(-2.0, 2.0, 0.0, 1.0),
+                kurtosis_stats=(1.0, 90.0, 10.0, 5.0))
 
 
 def _convert(state):
@@ -127,6 +130,7 @@ def test_converted_tree_matches_init_structure():
         src_lens=np.full((B,), C, np.int32),
         image_cells=np.zeros((B, C, CELL_H, CELL_W), np.float32),
         energy_targets=np.zeros((B, C), np.float32),
+        kurtosis_targets=np.full((B, C), 5.0, np.float32),
         duration_targets=np.full((B, C), 8, np.int32),
         use_image=True, deterministic=True)
 
@@ -153,6 +157,7 @@ def test_converted_tree_matches_init_structure():
         src_lens=np.full((B,), C, np.int32),
         image_cells=np.zeros((B, C, CELL_H, CELL_W), np.float32),
         energy_targets=np.zeros((B, C), np.float32),
+        kurtosis_targets=np.full((B, C), 5.0, np.float32),
         duration_targets=np.full((B, C), 8, np.int32),
         use_image=True, deterministic=True)
     assert np.isfinite(np.asarray(out["postnet_mel"])).all()

@@ -158,7 +158,7 @@ def convert_vtts_state_dict(
     if "variance_adaptor.kurtosis_predictor.linear_layer.weight" in s:
         va["kurtosis_predictor"] = _variance_predictor(
             s, "variance_adaptor.kurtosis_predictor")
-        va["kurtosis_embedding"] = {
+        va["kurt_embedding"] = {
             "embedding": np.asarray(
                 s["variance_adaptor.kurt_embedding.weight"], np.float32)}
     params["variance_adaptor"] = va
