@@ -144,7 +144,8 @@ def cmd_convert_acoustic(args):
 
 def cmd_bench(args):
     import runpy
-    sys.argv = ["bench.py"]
+    sys.argv = ["bench.py"] + (["--full"] if args.full else []) \
+        + (["--f32"] if args.f32 else [])
     runpy.run_path(str(pathlib.Path(__file__).resolve().parents[1] / "bench.py"),
                    run_name="__main__")
 
@@ -215,6 +216,11 @@ def main(argv=None):
     s.set_defaults(fn=cmd_convert_vocoder)
 
     s = sub.add_parser("bench", help="run the benchmark harness")
+    s.add_argument("--full", action="store_true",
+                   help="also report vocoder RTF, acoustic frames/s, "
+                        "preprocessing clips/s")
+    s.add_argument("--f32", action="store_true",
+                   help="strict-parity f32 vocoder instead of bf16")
     s.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
