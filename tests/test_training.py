@@ -177,3 +177,67 @@ def test_bf16_compute_overfit_and_closeness():
     assert m16.dtype == np.float32
     denom = np.abs(m32).mean() + 1e-6
     assert np.abs(m16 - m32).mean() / denom < 0.1
+
+
+def test_grad_accumulation_equals_big_batch():
+    """grad_acc_steps=2 over two half-batches must match one full-batch step
+    (optax.MultiSteps path; reference grad_acc_step at 04_train.py:136-141)."""
+    import jax
+    import jax.numpy as jnp
+    from visual_onoma_to_wave_tpu.models import VTTS
+    from visual_onoma_to_wave_tpu.training import (
+        create_train_state, make_optimizer, make_train_step)
+
+    kw = dict(n_vocab=16, n_audiotype=2, hidden=32, encoder_layers=1,
+              decoder_layers=1, n_head=2, d_inner=64, ffn_kernel=(3, 1),
+              max_seq_len=64, max_mel_len=64, n_mels=16, vfe_layers=1,
+              encoder_dropout=0.0, decoder_dropout=0.0, vp_dropout=0.0,
+              energy_stats=(-2.0, 2.0, 0.0, 1.0))
+    model = VTTS(**kw)
+    rng = np.random.default_rng(0)
+    B, C = 4, 4
+
+    def make_batch(b, seed):
+        r = np.random.default_rng(seed)
+        return {k: jnp.asarray(v) for k, v in {
+            "audiotypes": (np.arange(b) % 2).astype(np.int32),
+            "texts": r.integers(1, 16, (b, C)).astype(np.int32),
+            "src_lens": np.full((b,), C, np.int32),
+            "image_cells": r.uniform(0, 1, (b, C, 24, 30)).astype(np.float32),
+            "energies": r.standard_normal((b, C)).astype(np.float32),
+            "durations": np.full((b, C), 8, np.int32),
+            "mels": r.standard_normal((b, 64, 16)).astype(np.float32),
+        }.items()}
+
+    full = make_batch(B, 1)
+    halves = [
+        {k: v[:B // 2] for k, v in full.items()},
+        {k: v[B // 2:] for k, v in full.items()},
+    ]
+    key = jax.random.PRNGKey(0)
+
+    tx1 = make_optimizer(init_lr=1e-2, warmup_steps=1)
+    s1 = create_train_state(model, tx1, jax.random.PRNGKey(7), full, True)
+    step1 = make_train_step(model, tx1, True)
+    s1, _ = step1(s1, full, key)
+
+    tx2 = make_optimizer(init_lr=1e-2, warmup_steps=1, grad_acc_steps=2)
+    s2 = create_train_state(model, tx2, jax.random.PRNGKey(7), halves[0], True)
+    init_params = s2.params
+    step2 = make_train_step(model, tx2, True)
+    s2, _ = step2(s2, halves[0], key)
+    # mid-accumulation: params must be UNCHANGED (MultiSteps holds the grad)
+    same = jax.tree.map(lambda a, b: bool(jnp.all(a == b)),
+                        init_params, s2.params)
+    assert all(jax.tree.leaves(same))
+    s2, _ = step2(s2, halves[1], key)
+    changed = jax.tree.map(lambda a, b: bool(jnp.any(a != b)),
+                           init_params, s2.params)
+    assert any(jax.tree.leaves(changed))
+
+    # accumulated update ~ full-batch update (PostNet BatchNorm uses
+    # per-micro-batch statistics, so equality is approximate by design)
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                     s1.params, s2.params)
+    worst = max(jax.tree.leaves(d))
+    assert worst < 0.05, worst
