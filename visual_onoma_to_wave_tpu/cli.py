@@ -88,15 +88,10 @@ def cmd_evaluate(args):
 
 
 def cmd_synthesize(args):
-    import jax
-    from visual_onoma_to_wave_tpu.config import DatasetMetadata
     from visual_onoma_to_wave_tpu.data.audio_io import write_wav
-    from visual_onoma_to_wave_tpu.data.symbols import build_symbol_map
-    from visual_onoma_to_wave_tpu.models import VTTS
     from visual_onoma_to_wave_tpu.synthesis import Synthesizer
-    from visual_onoma_to_wave_tpu.training.schedule import make_optimizer
     from visual_onoma_to_wave_tpu.training.trainer import Trainer
-    from visual_onoma_to_wave_tpu.utils.checkpoint import CheckpointManager, load_params
+    from visual_onoma_to_wave_tpu.utils.checkpoint import load_params
 
     cfg = load_config(args.config)
     restore = args.restore_step if args.restore_step is not None else -1

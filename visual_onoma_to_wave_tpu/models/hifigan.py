@@ -22,7 +22,6 @@ Exact-parity notes:
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import flax.linen as nn
 import jax

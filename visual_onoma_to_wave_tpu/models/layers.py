@@ -18,8 +18,6 @@ each FFT sub-block, -inf attention masking, dropout placement.
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np

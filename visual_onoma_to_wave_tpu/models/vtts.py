@@ -13,7 +13,6 @@ equivalent of the reference's inference-time on-the-fly table.
 """
 from __future__ import annotations
 
-from dataclasses import field
 from typing import Optional
 
 import flax.linen as nn

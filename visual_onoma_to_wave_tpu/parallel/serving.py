@@ -12,10 +12,8 @@ forced by the caller).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from visual_onoma_to_wave_tpu.parallel.mesh import (
     batch_sharding,
