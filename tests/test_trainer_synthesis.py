@@ -175,3 +175,23 @@ def test_synthesize_batch(tiny_env):
     np.testing.assert_array_equal(results[1].durations, single.durations)
     np.testing.assert_allclose(results[1].mel, single.mel, atol=1e-4)
     trainer.ckpt.close()
+
+
+def test_trainer_text_path(tiny_env):
+    """use_image=False trains through the char-embedding encoder path
+    (reference use_image flag at 04_train.py / vtts.py forward)."""
+    from visual_onoma_to_wave_tpu.training.trainer import Trainer
+
+    cfg = tiny_env.replace(
+        train=tiny_env.train.__class__(
+            optimizer=tiny_env.train.optimizer,
+            step=tiny_env.train.step.__class__(
+                total_step=2, log_step=1, synth_step=100, val_step=100,
+                save_step=100),
+            use_image=False, max_mel_len=256, seed=0))
+    trainer = Trainer(cfg, use_mesh=False)
+    state = trainer.train(max_steps=2)
+    assert int(state.step) >= 2
+    assert "src_word_emb" in state.params
+    assert "vfe" not in state.params
+    trainer.ckpt.close()
