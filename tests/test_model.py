@@ -143,3 +143,22 @@ def test_kurtosis_conditioned_model(batch):
                              "duration_targets")}
     out = m.apply(variables, **infer_in, use_image=True, deterministic=True)
     assert np.isfinite(np.asarray(out["postnet_mel"])).all()
+
+
+def test_rgb_scale_vfe_path(batch):
+    """scale_in_training: RGB-scale -> VFE runs 3-channel convs; grayscale
+    cells are channel-replicated like PIL convert('RGB') in the reference."""
+    cfg = Config()
+    cfg = cfg.replace(visual_text=cfg.visual_text.__class__(
+        scale_in_training="RGB-scale"))
+    m = VTTS.from_config(cfg, n_vocab=40, max_mel_len=T)
+    assert m.vfe_channels == 3
+    variables = m.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, use_image=True, deterministic=True)
+    assert variables["params"]["vfe"]["conv_0"]["kernel"].shape[-2:] == (3, 3)
+    # bridge input width scales with channels (W*H*3)
+    bw = variables["params"]["vfe"]["bridge"]["kernel"].shape[0]
+    assert bw == WC * H * 3
+    out = m.apply(variables, **batch, use_image=True, deterministic=True)
+    assert np.isfinite(np.asarray(out["postnet_mel"])).all()

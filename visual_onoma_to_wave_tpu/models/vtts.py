@@ -80,6 +80,10 @@ class VTTS(nn.Module):
     use_image_default: bool = True
     vfe_kernel: tuple[int, int] = (3, 3)
     vfe_layers: int = 3
+    # 1 = gray-scale, 3 = RGB-scale (reference scale_in_training; glyph
+    # images are grayscale so RGB is channel replication, matching PIL
+    # convert("RGB") in the reference loader)
+    vfe_channels: int = 1
     # variance adaptor
     n_bins: int = 256
     vp_filter: int = 256
@@ -118,6 +122,8 @@ class VTTS(nn.Module):
             use_image_default=config.train.use_image,
             vfe_kernel=tuple(m.visual_feature_extractor.conv_kernel_size),
             vfe_layers=m.visual_feature_extractor.layer_num,
+            vfe_channels=(3 if config.visual_text.scale_in_training
+                          == "RGB-scale" else 1),
             n_bins=m.variance_embedding.n_bins,
             vp_filter=m.variance_predictor.filter_size,
             vp_kernel=m.variance_predictor.kernel_size,
@@ -168,7 +174,8 @@ class VTTS(nn.Module):
             assert image_cells is not None
             emb = VisualFeatureExtractor(
                 embed_dim=self.hidden, kernel_size=self.vfe_kernel,
-                num_convolutions=self.vfe_layers, name="vfe",
+                num_convolutions=self.vfe_layers,
+                channels=self.vfe_channels, name="vfe",
             )(image_cells, deterministic)
         else:
             emb = nn.Embed(self.n_vocab + 1, self.hidden, name="src_word_emb")(texts)
