@@ -8,6 +8,14 @@ Behavioral parity with reference Preprocessor._get_alignment
     non-silence phone and added after the last one (clamped to [0, end]);
   * per-character duration = round(end*sr/hop) - round(start*sr/hop), which
     guarantees sum(durations) equals the frame count of the trimmed region.
+
+Deliberate divergence (SURVEY.md §7: "resolve deliberately, don't replicate
+bugs"): the reference rescales start_t/end_t/last_t in one tuple assignment
+(preprocessor.py:296) and THEN divides the boundary arrays by the
+already-rescaled last_t (== wav_sec), i.e. the interior boundaries are left
+in lab time. When lab and wav timelines agree (the RWCP-SSD case) the two
+are identical; when they differ, this implementation scales every boundary
+consistently.
 """
 from __future__ import annotations
 
