@@ -293,3 +293,115 @@ def test_vfe_forward_parity():
          "batch_stats": variables["batch_stats"]["vfe"]},
         jnp.asarray(cells), True)
     np.testing.assert_allclose(np.asarray(ours), golden, atol=2e-5)
+
+
+def test_full_model_forward_parity():
+    """Full converted-checkpoint forward parity: functional torch vTTS
+    (VFE -> encoder -> +audiotype -> variance adaptor (teacher-forced
+    durations, target-bucketized energy/kurtosis) -> LR -> decoder ->
+    mel_linear -> PostNet residual) vs our VTTS.apply on the same weights.
+
+    Uses full-length sequences (no padding) so masking is inert; dropout off
+    (deterministic) and BatchNorm in eval mode on both sides."""
+    rng = np.random.default_rng(9)
+    state = make_state(rng)
+    variables = _convert(state)
+    model = _model()
+
+    B, C = 2, 4
+    DUR = 6
+    T_mel = C * DUR
+    cells = rng.uniform(0, 1, (B, C, CELL_H, CELL_W)).astype(np.float32)
+    audiotypes = np.array([1, 3], np.int32)
+    e_t = rng.standard_normal((B, C)).astype(np.float32)
+    k_t = rng.uniform(2.0, 80.0, (B, C)).astype(np.float32)
+    durations = np.full((B, C), DUR, np.int32)
+
+    # ---- torch functional forward ----
+    from visual_onoma_to_wave_tpu.models.layers import sinusoid_position_table
+    from visual_onoma_to_wave_tpu.models.variance_adaptor import _make_bins
+
+    # VFE (reuse the transcription from test_vfe_forward_parity)
+    tx = torch.tensor(cells.reshape(B * C, 1, CELL_H, CELL_W))
+    for i in range(VFE_L):
+        p = f"encoder.VisualFeatureExtractor.embedder.{3 * i}"
+        tx = F.conv2d(tx, state[f"{p}.weight"], state[f"{p}.bias"], padding=1)
+        q = f"encoder.VisualFeatureExtractor.embedder.{3 * i + 1}"
+        tx = F.batch_norm(tx, state[f"{q}.running_mean"],
+                          state[f"{q}.running_var"], state[f"{q}.weight"],
+                          state[f"{q}.bias"], False)
+        tx = F.relu(tx)
+    tx = tx.reshape(B * C, -1)
+    tx = F.relu(tx @ state["encoder.VisualFeatureExtractor.bridge.0.weight"].T
+                + state["encoder.VisualFeatureExtractor.bridge.0.bias"])
+    x = tx.reshape(B, C, H)
+
+    pos = torch.tensor(sinusoid_position_table(65, H))
+    x = x + pos[None, :C, :]
+    for i in range(ENC_L):
+        x = _torch_fft_block(state, f"encoder.layer_stack.{i}", x)
+    x = x + torch.tensor(state["audiotype_emb.weight"].numpy())[
+        torch.tensor(audiotypes.astype(np.int64))][:, None, :]
+
+    def vp_forward(prefix, h):
+        h0 = h
+        h = F.conv1d(h0.transpose(1, 2),
+                     state[f"{prefix}.conv_layer.conv1d_1.conv.weight"],
+                     state[f"{prefix}.conv_layer.conv1d_1.conv.bias"],
+                     padding=1).transpose(1, 2)
+        h = F.layer_norm(F.relu(h), (H,),
+                         state[f"{prefix}.conv_layer.layer_norm_1.weight"],
+                         state[f"{prefix}.conv_layer.layer_norm_1.bias"])
+        h = F.conv1d(h.transpose(1, 2),
+                     state[f"{prefix}.conv_layer.conv1d_2.conv.weight"],
+                     state[f"{prefix}.conv_layer.conv1d_2.conv.bias"],
+                     padding=1).transpose(1, 2)
+        h = F.layer_norm(F.relu(h), (H,),
+                         state[f"{prefix}.conv_layer.layer_norm_2.weight"],
+                         state[f"{prefix}.conv_layer.layer_norm_2.bias"])
+        return (h @ state[f"{prefix}.linear_layer.weight"].T
+                + state[f"{prefix}.linear_layer.bias"])[..., 0]
+
+    # energy: embed bucketized TARGET (train branch, modules.py:53-56)
+    e_bins = torch.tensor(_make_bins(-2.0, 2.0, 256, "linear"))
+    ids = torch.bucketize(torch.tensor(e_t), e_bins)
+    x = x + torch.tensor(
+        state["variance_adaptor.energy_embedding.weight"].numpy())[ids]
+    k_bins = torch.tensor(_make_bins(1.0, 90.0, 256, "linear"))
+    ids = torch.bucketize(torch.tensor(k_t), k_bins)
+    x = x + torch.tensor(
+        state["variance_adaptor.kurt_embedding.weight"].numpy())[ids]
+
+    # length regulator: repeat each char DUR times (reference expand loop)
+    x = x.repeat_interleave(DUR, dim=1)          # (B, T_mel, H)
+    x = x + pos[None, :T_mel, :]
+    for i in range(DEC_L):
+        x = _torch_fft_block(state, f"decoder.layer_stack.{i}", x)
+    mel = x @ state["mel_linear.weight"].T + state["mel_linear.bias"]
+
+    th = mel.transpose(1, 2)
+    for i in range(NPOST):
+        th = F.conv1d(th, state[f"postnet.convolutions.{i}.0.conv.weight"],
+                      state[f"postnet.convolutions.{i}.0.conv.bias"], padding=2)
+        th = F.batch_norm(th, state[f"postnet.convolutions.{i}.1.running_mean"],
+                          state[f"postnet.convolutions.{i}.1.running_var"],
+                          state[f"postnet.convolutions.{i}.1.weight"],
+                          state[f"postnet.convolutions.{i}.1.bias"], False)
+        if i < NPOST - 1:
+            th = torch.tanh(th)
+    golden = (mel + th.transpose(1, 2)).detach().numpy()
+
+    # ---- ours ----
+    out = model.apply(
+        variables,
+        audiotypes=audiotypes,
+        texts=np.ones((B, C), np.int32),
+        src_lens=np.full((B,), C, np.int32),
+        image_cells=cells,
+        energy_targets=e_t, kurtosis_targets=k_t,
+        duration_targets=durations,
+        use_image=True, deterministic=True, max_mel_len=T_mel)
+    ours = np.asarray(out["postnet_mel"])
+
+    assert ours.shape == golden.shape
+    np.testing.assert_allclose(ours, golden, atol=5e-4)
