@@ -38,6 +38,7 @@ from visual_onoma_to_wave_tpu.data.renderer import (
 
 MAX_CHARS = 48          # static char-axis bucket for device kernels
 BATCH_CLIPS = 16        # clips per device batch
+NUM_HOST_WORKERS = 8    # host IO thread pool (reference joblib n_jobs)
 
 
 def _get_basename(font_stem: str, fontsize: int, stem: str, ext: str = "") -> str:
@@ -222,12 +223,18 @@ class Preprocessor:
         per_label_tasks: dict[str, list[ClipTask]] = {}
         n_frames_cnt = 0
 
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=NUM_HOST_WORKERS)
+
         # ---- pass 1: features -------------------------------------------------
         for label in labels:
             self._makedirs(label)
             lines = (self.formatted / "text" / label / "data.txt").read_text().splitlines()
-            tasks = [t for t in (self._load_clip(label, ln) for ln in lines if ln.strip())
-                     if t is not None]
+            # host IO (wav read, TextGrid parse, alignment) fans out over the
+            # thread pool — the analog of the reference's joblib workers
+            tasks = [t for t in pool.map(
+                lambda ln: self._load_clip(label, ln),
+                [ln for ln in lines if ln.strip()]) if t is not None]
             # device batches
             for i in range(0, len(tasks), BATCH_CLIPS):
                 chunk = tasks[i : i + BATCH_CLIPS]
@@ -257,13 +264,15 @@ class Preprocessor:
                 continue
             cps, max_w, _ = width_dumps[label]
             renderer = VisualTextRenderer.from_config(cfg, chars_per_sec=cps)
-            for t in per_label_tasks[label]:
-                wav_sec = len(t.audio) / self.sr
+
+            def render_one(t, label=label, renderer=renderer):
                 renderer.draw(
-                    t.text, wav_sec,
+                    t.text, len(t.audio) / self.sr,
                     save_image=self.out / "image" / "png" / label / f"{t.basename}.png",
                     save_width=self.out / "image" / "width" / label / f"{t.basename}.npy",
                 )
+
+            list(pool.map(render_one, per_label_tasks[label]))
             entire_max_width = max(entire_max_width, int(max_w))
         with open(self.out / "visual_text.json", "w") as f:
             json.dump({"max_pixelsize": [int(entire_max_width)],
@@ -271,8 +280,10 @@ class Preprocessor:
 
         # ---- pass 3: augmentation ----------------------------------------------
         for label in labels:
-            for t in per_label_tasks[label]:
-                n_frames_cnt += self._augment(label, t.basename, t.text)
+            n_frames_cnt += sum(pool.map(
+                lambda t, label=label: self._augment(label, t.basename, t.text),
+                per_label_tasks[label]))
+        pool.shutdown()
 
         # ---- pass 4: normalization + metadata ----------------------------------
         stats = self._normalize_features()
