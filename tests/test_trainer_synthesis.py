@@ -195,3 +195,30 @@ def test_trainer_text_path(tiny_env):
     assert "src_word_emb" in state.params
     assert "vfe" not in state.params
     trainer.ckpt.close()
+
+
+def test_synthesizer_with_melgan_vocoder(tiny_env):
+    """model.vocoder_model = MelGAN routes vocoding through melgan_infer
+    (log10-domain mel handling) in the Synthesizer."""
+    import jax
+    import jax.numpy as jnp
+    from visual_onoma_to_wave_tpu.models.melgan import MelGANGenerator
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+    from visual_onoma_to_wave_tpu.training.trainer import Trainer
+
+    cfg = tiny_env.replace(
+        model=tiny_env.model.__class__(
+            transformer=tiny_env.model.transformer,
+            visual_feature_extractor=tiny_env.model.visual_feature_extractor,
+            max_seq_len=tiny_env.model.max_seq_len,
+            vocoder_model="MelGAN"))
+    trainer = Trainer(cfg, use_mesh=False)
+    gen = MelGANGenerator(ngf=4)
+    gp = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 80), jnp.float32))
+    synth = Synthesizer(cfg, trainer.model, trainer.state, trainer.metadata,
+                        trainer.train_ds.symbol_map, gp, vocoder=gen)
+    res = synth.synthesize("パンパン", "drum")
+    assert res.wav is not None
+    assert res.wav.shape[0] == res.mel.shape[0] * 256
+    assert np.isfinite(res.wav).all()
+    trainer.ckpt.close()
