@@ -241,3 +241,43 @@ def test_grad_accumulation_equals_big_batch():
                      s1.params, s2.params)
     worst = max(jax.tree.leaves(d))
     assert worst < 0.05, worst
+
+
+def test_training_is_deterministic():
+    """Same seed + same data -> bitwise-identical losses across two runs
+    (jit + threefry PRNG; no nondeterministic ops in the train step)."""
+    import jax
+    import jax.numpy as jnp
+    from visual_onoma_to_wave_tpu.models import VTTS
+    from visual_onoma_to_wave_tpu.training import (
+        create_train_state, make_optimizer, make_train_step)
+
+    kw = dict(n_vocab=16, n_audiotype=2, hidden=32, encoder_layers=1,
+              decoder_layers=1, n_head=2, d_inner=64, ffn_kernel=(3, 1),
+              max_seq_len=64, max_mel_len=64, n_mels=16, vfe_layers=1,
+              energy_stats=(-2.0, 2.0, 0.0, 1.0))
+    rng = np.random.default_rng(0)
+    B, C = 4, 4
+    batch = {k: jnp.asarray(v) for k, v in {
+        "audiotypes": (np.arange(B) % 2).astype(np.int32),
+        "texts": rng.integers(1, 16, (B, C)).astype(np.int32),
+        "src_lens": np.full((B,), C, np.int32),
+        "image_cells": rng.uniform(0, 1, (B, C, 24, 30)).astype(np.float32),
+        "energies": rng.standard_normal((B, C)).astype(np.float32),
+        "durations": np.full((B, C), 8, np.int32),
+        "mels": rng.standard_normal((B, 64, 16)).astype(np.float32),
+    }.items()}
+
+    def run():
+        model = VTTS(**kw)
+        tx = make_optimizer(init_lr=1e-3, warmup_steps=5)
+        state = create_train_state(model, tx, jax.random.PRNGKey(3), batch, True)
+        step = make_train_step(model, tx, True)
+        losses = []
+        for i in range(5):
+            state, l = step(state, batch, jax.random.PRNGKey(100 + i))
+            losses.append(float(l["total_loss"]))
+        return losses
+
+    a, b = run(), run()
+    assert a == b, (a, b)
