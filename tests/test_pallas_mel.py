@@ -83,3 +83,44 @@ def test_pallas_clip_features_matches_jnp():
                                atol=1e-2, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got_k), np.asarray(ref_k),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_pallas_long_clip_and_custom_tile():
+    """Long clips stream through tile-by-tile (grid > 1 in both axes);
+    non-default tile_t exercises the index maps."""
+    rng = np.random.default_rng(3)
+    n_fft, hop, sr = 1024, 256, 22050
+    audio = rng.uniform(-1, 1, (1, hop * 700)).astype(np.float32)  # ~8 s
+    padded = _reflect_pad_1d(jnp.asarray(audio), n_fft // 2)
+    window = jnp.asarray(hann_window(n_fft))
+    fb = jnp.asarray(melscale_fbanks(n_fft // 2 + 1, 0.0, 8000.0, 80, sr))
+    ref_mel, ref_e = logmel_and_energy(jnp.asarray(audio), window, fb,
+                                       n_fft, hop, n_fft)
+    got_mel, got_e = pallas_logmel_energy(
+        padded, n_fft=n_fft, hop_length=hop, win_length=n_fft,
+        sampling_rate=sr, tile_t=256, interpret=True)
+    assert got_mel.shape == ref_mel.shape
+    np.testing.assert_allclose(np.asarray(got_mel), np.asarray(ref_mel),
+                               atol=2e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(ref_e),
+                               atol=1e-2, rtol=1e-4)
+
+
+def test_pallas_short_window():
+    """win_length < n_fft pads the window symmetrically into the DFT basis
+    (torch Spectrogram semantics)."""
+    rng = np.random.default_rng(4)
+    n_fft, win, hop, sr = 1024, 800, 256, 22050
+    audio = rng.uniform(-1, 1, (2, 4096)).astype(np.float32)
+    padded = _reflect_pad_1d(jnp.asarray(audio), n_fft // 2)
+    window = jnp.asarray(hann_window(win))
+    fb = jnp.asarray(melscale_fbanks(n_fft // 2 + 1, 0.0, 8000.0, 80, sr))
+    ref_mel, ref_e = logmel_and_energy(jnp.asarray(audio), window, fb,
+                                       n_fft, hop, win)
+    got_mel, got_e = pallas_logmel_energy(
+        padded, n_fft=n_fft, hop_length=hop, win_length=win,
+        sampling_rate=sr, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_mel), np.asarray(ref_mel),
+                               atol=2e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(ref_e),
+                               atol=1e-2, rtol=1e-4)
