@@ -222,3 +222,25 @@ def test_synthesizer_with_melgan_vocoder(tiny_env):
     assert res.wav.shape[0] == res.mel.shape[0] * 256
     assert np.isfinite(res.wav).all()
     trainer.ckpt.close()
+
+
+def test_examples_demo_script(tiny_env, tmp_path, monkeypatch):
+    """examples/demo.py (the prediction.ipynb equivalent) runs end-to-end
+    from a config file and writes the visual-onomatopoeia + mel plot."""
+    import json
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    import examples.demo as demo
+
+    cfg_path = tmp_path / "cfg.json"
+    # serialize the tiny_env fixture config to a loadable dict
+    import dataclasses
+    cfg_path.write_text(json.dumps(dataclasses.asdict(tiny_env)))
+    monkeypatch.chdir(tmp_path)
+    demo.main([str(cfg_path), "--text", "パン", "--out-dir",
+               str(tmp_path / "demo_out")])
+    outs = list((tmp_path / "demo_out").iterdir())
+    names = {p.name for p in outs}
+    assert any(n.endswith("_mel.png") for n in names)
+    assert any(n.endswith(".png") and not n.endswith("_mel.png")
+               for n in names)
