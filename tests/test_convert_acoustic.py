@@ -35,7 +35,7 @@ def _t(rng, *shape):
     return torch.tensor(rng.standard_normal(shape).astype(np.float32) * 0.1)
 
 
-def make_state(rng) -> dict:
+def make_state(rng, vfe_ch: int = 1) -> dict:
     s = {}
 
     def lin(p, o, i):
@@ -80,9 +80,11 @@ def make_state(rng) -> dict:
 
     s["encoder.src_word_emb.weight"] = _t(rng, NVOCAB + 1, H)
     for i in range(VFE_L):
-        conv2d(f"encoder.VisualFeatureExtractor.embedder.{3 * i}", 1, 1, 3, 3)
-        bn(f"encoder.VisualFeatureExtractor.embedder.{3 * i + 1}", 1)
-    lin("encoder.VisualFeatureExtractor.bridge.0", H, CELL_W * CELL_H)
+        conv2d(f"encoder.VisualFeatureExtractor.embedder.{3 * i}",
+               vfe_ch, vfe_ch, 3, 3)
+        bn(f"encoder.VisualFeatureExtractor.embedder.{3 * i + 1}", vfe_ch)
+    lin("encoder.VisualFeatureExtractor.bridge.0", H,
+        vfe_ch * CELL_W * CELL_H)
     fft_stack("encoder", ENC_L)
     s["audiotype_emb.weight"] = _t(rng, NAUDIO, H)
     vp("variance_adaptor.duration_predictor")
@@ -288,6 +290,41 @@ def test_vfe_forward_parity():
     from visual_onoma_to_wave_tpu.models.vfe import VisualFeatureExtractor
     vfe = VisualFeatureExtractor(embed_dim=H, kernel_size=(3, 3),
                                  num_convolutions=VFE_L)
+    ours = vfe.apply(
+        {"params": variables["params"]["vfe"],
+         "batch_stats": variables["batch_stats"]["vfe"]},
+        jnp.asarray(cells), True)
+    np.testing.assert_allclose(np.asarray(ours), golden, atol=2e-5)
+
+
+def test_vfe_rgb_bridge_reorder_parity():
+    """RGB-scale checkpoints flatten (C, H, W) in torch but (H, W, C) here;
+    the converter must permute the bridge kernel rows (advisor finding).
+    Golden: functional torch transcription of a 3-channel VFE."""
+    rng = np.random.default_rng(7)
+    state = make_state(rng, vfe_ch=3)
+    variables = _convert(state)   # vfe_channels auto-inferred from conv shape
+
+    B, C = 2, 3
+    cells = rng.uniform(0, 1, (B, C, CELL_H, CELL_W)).astype(np.float32)
+    # reference RGB-scale: grayscale render replicated to 3 channels
+    tx = torch.tensor(cells.reshape(B * C, 1, CELL_H, CELL_W)).repeat(1, 3, 1, 1)
+    for i in range(VFE_L):
+        p = f"encoder.VisualFeatureExtractor.embedder.{3 * i}"
+        tx = F.conv2d(tx, state[f"{p}.weight"], state[f"{p}.bias"], padding=1)
+        q = f"encoder.VisualFeatureExtractor.embedder.{3 * i + 1}"
+        tx = F.batch_norm(tx, state[f"{q}.running_mean"],
+                          state[f"{q}.running_var"], state[f"{q}.weight"],
+                          state[f"{q}.bias"], False)
+        tx = F.relu(tx)
+    tx = tx.reshape(B * C, -1)   # NCHW flatten: (c, h, w) row order
+    tx = F.relu(tx @ state["encoder.VisualFeatureExtractor.bridge.0.weight"].T
+                + state["encoder.VisualFeatureExtractor.bridge.0.bias"])
+    golden = tx.reshape(B, C, H).detach().numpy()
+
+    from visual_onoma_to_wave_tpu.models.vfe import VisualFeatureExtractor
+    vfe = VisualFeatureExtractor(embed_dim=H, kernel_size=(3, 3),
+                                 num_convolutions=VFE_L, channels=3)
     ours = vfe.apply(
         {"params": variables["params"]["vfe"],
          "batch_stats": variables["batch_stats"]["vfe"]},

@@ -5,8 +5,11 @@ torch-hub sequential layout, functional torch forward, sample-exact check
 of the flax module + converter.
 """
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
+
+import jax
 
 import jax.numpy as jnp
 
@@ -130,3 +133,37 @@ def test_melgan_infer_log10_and_lengths():
     # log10 scaling applied: feeding ln-mels equals applying on mels/ln(10)
     direct = gen.apply(params, mels / np.log(10.0))
     np.testing.assert_allclose(np.asarray(wavs), np.asarray(direct), atol=1e-6)
+
+
+def test_melgan_infer_reuses_compiled_executable():
+    """melgan_infer must hit one cached jit across calls (advisor finding:
+    jax.jit(gen.apply) per call re-traced every time)."""
+    from visual_onoma_to_wave_tpu.models import melgan as melgan_mod
+
+    rng = np.random.default_rng(2)
+    state = make_state(rng)
+    gen = MelGANGenerator(n_mels=N_MELS, ngf=NGF,
+                          n_residual_layers=NRES, ratios=RATIOS)
+    params = {"params": convert_melgan_state_dict(
+        {k: v.numpy() for k, v in state.items()},
+        ratios=RATIOS, n_residual_layers=NRES)}
+    mels = jnp.asarray(rng.standard_normal((1, 7, N_MELS)).astype(np.float32))
+    melgan_mod._infer._clear_cache()
+    melgan_infer(params, mels, gen=gen)
+    misses = melgan_mod._infer._cache_size()
+    # same config (fresh but equal module) + same shape -> no new trace
+    gen2 = MelGANGenerator(n_mels=N_MELS, ngf=NGF,
+                           n_residual_layers=NRES, ratios=RATIOS)
+    melgan_infer(params, mels, gen=gen2)
+    melgan_infer(params, mels, gen=gen)
+    assert melgan_mod._infer._cache_size() == misses == 1
+
+
+def test_melgan_rejects_odd_ratios():
+    gen = MelGANGenerator(n_mels=N_MELS, ngf=NGF, n_residual_layers=NRES,
+                          ratios=(8, 3, 2))
+    with pytest.raises(AssertionError, match="even upsample ratios"):
+        gen.init(jax.random.PRNGKey(0),
+                 jnp.zeros((1, 4, N_MELS), jnp.float32))
+    with pytest.raises(AssertionError, match="even upsample ratios"):
+        convert_melgan_state_dict({}, ratios=(8, 3, 2))

@@ -34,6 +34,29 @@ def test_fill_cells_f32_matches_numpy():
     np.testing.assert_allclose(out, ref, atol=1e-7)
 
 
+@needs_native
+def test_cells_parity_on_width_overrun():
+    """Malformed width files whose sum exceeds the image width must place
+    the truncated glyph at the SAME column in the C kernel and the numpy
+    fallback (advisor finding: left offset from the pre-clip width)."""
+    rng = np.random.default_rng(2)
+    widths = np.array([40, 60, 50], np.int64)      # sum 150
+    img = rng.integers(0, 256, (24, 120)).astype(np.uint8)  # 30 px short
+    ref = pad_character_cells(img, widths, 102)
+    got = native.pad_cells_u8(img, widths, 102)
+    np.testing.assert_array_equal(got, ref)
+    ref32 = ref.astype(np.float32) / 255.0
+    out = np.empty((3, 24, 102), np.float32)
+    native.fill_cells_f32(img, widths, 102, out)
+    np.testing.assert_allclose(out, ref32, atol=1e-7)
+    # fully-exhausted case: last char starts past the image end
+    widths2 = np.array([130, 20], np.int64)
+    img2 = rng.integers(0, 256, (24, 110)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        native.pad_cells_u8(img2, widths2, 102),
+        pad_character_cells(img2, widths2, 102))
+
+
 def test_prefetch_order_and_exception():
     assert list(prefetch(iter(range(100)), depth=3)) == list(range(100))
 

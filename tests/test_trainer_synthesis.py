@@ -197,6 +197,34 @@ def test_trainer_text_path(tiny_env):
     trainer.ckpt.close()
 
 
+def test_synthesize_oov_text(tiny_env):
+    """Out-of-vocabulary characters: PAD fallback on the image path (ids are
+    unused there), hard KeyError on the text path (advisor finding: silently
+    synthesizing from all-zero ids)."""
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+    from visual_onoma_to_wave_tpu.training.trainer import Trainer
+
+    trainer = Trainer(tiny_env, use_mesh=False)
+    synth = Synthesizer(tiny_env, trainer.model, trainer.state,
+                        trainer.metadata, trainer.train_ds.symbol_map)
+    res = synth.synthesize("ドン", "drum")   # ド/ン partly OOV, image path OK
+    assert res.mel.shape[1] == 80
+
+    cfg = tiny_env.replace(
+        train=tiny_env.train.__class__(
+            optimizer=tiny_env.train.optimizer, step=tiny_env.train.step,
+            use_image=False, max_mel_len=256, seed=0))
+    t2 = Trainer(cfg, use_mesh=False)
+    synth_txt = Synthesizer(cfg, t2.model, t2.state, t2.metadata,
+                            t2.train_ds.symbol_map)
+    with pytest.raises(KeyError, match="not in the training vocabulary"):
+        synth_txt.synthesize("ドドド", "drum")
+    with pytest.raises(KeyError, match="not in the training vocabulary"):
+        synth_txt.synthesize_batch(["ドドド"], ["drum"])
+    trainer.ckpt.close()
+    t2.ckpt.close()
+
+
 def test_synthesizer_with_melgan_vocoder(tiny_env):
     """model.vocoder_model = MelGAN routes vocoding through melgan_infer
     (log10-domain mel handling) in the Synthesizer."""

@@ -107,8 +107,18 @@ def convert_vtts_state_dict(
     vfe_layers: int = 3,
     postnet_convs: int = 5,
     vp_kernel: int = 3,
+    vfe_channels: int | None = None,
 ) -> dict[str, Any]:
-    """Return {"params": ..., "batch_stats": ...} for our VTTS module."""
+    """Return {"params": ..., "batch_stats": ...} for our VTTS module.
+
+    ``vfe_channels`` is the VFE conv channel count of the checkpoint
+    (1 = gray-scale, 3 = RGB-scale, reference model.yaml scale_in_training);
+    None (default) infers it from the first embedder conv's input channels.
+    The reference flattens the embedder output in NCHW (c, h, w) order before
+    its bridge Linear (visual_feature_extractor.py:49-55) while our VFE
+    flattens NHWC (h, w, c); for multi-channel checkpoints the bridge kernel
+    rows are reordered accordingly.
+    """
     assert vp_kernel == 3, (
         "reference VariancePredictor conv1d_2 hard-codes padding=1 "
         "(modules.py), equivalent to SAME only for kernel_size=3")
@@ -124,6 +134,10 @@ def convert_vtts_state_dict(
     vfe_p: dict[str, Any] = {}
     vfe_s: dict[str, Any] = {}
     if f"encoder.VisualFeatureExtractor.embedder.0.weight" in s:
+        if vfe_channels is None:
+            # torch Conv2d weight is (out, in, kh, kw)
+            vfe_channels = int(
+                s["encoder.VisualFeatureExtractor.embedder.0.weight"].shape[1])
         # Sequential [Conv2d, BatchNorm2d, ReLU] x layers -> indices 3i/3i+1
         for i in range(vfe_layers):
             base = f"encoder.VisualFeatureExtractor.embedder.{3 * i}"
@@ -134,7 +148,18 @@ def convert_vtts_state_dict(
             vfe_s[f"bn_{i}"] = bn_s
         bridge = "encoder.VisualFeatureExtractor.bridge"
         bridge = bridge + ".0" if f"{bridge}.0.weight" in s else bridge
-        vfe_p["bridge"] = _dense(s, bridge)
+        bridge_p = _dense(s, bridge)
+        if vfe_channels > 1:
+            # torch flattened (C, H, W); our VFE flattens (H, W, C): permute
+            # kernel rows (C, HW, out) -> (HW, C, out).
+            k = bridge_p["kernel"]               # (C*H*W, out)
+            chw, out_dim = k.shape
+            assert chw % vfe_channels == 0, (chw, vfe_channels)
+            hw = chw // vfe_channels
+            bridge_p["kernel"] = (
+                k.reshape(vfe_channels, hw, out_dim)
+                .transpose(1, 0, 2).reshape(chw, out_dim))
+        vfe_p["bridge"] = bridge_p
         params["vfe"] = vfe_p
         stats["vfe"] = vfe_s
     params["encoder"] = _fft_stack(s, "encoder", encoder_layers)

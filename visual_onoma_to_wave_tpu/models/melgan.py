@@ -20,6 +20,8 @@ lhs-dilated formulation from models/hifigan.py.
 """
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -82,6 +84,11 @@ class MelGANGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        # padding r//2 with output_padding 0 matches melgan-neurips
+        # (padding=r//2+r%2, output_padding=r%2) only for even ratios
+        assert all(r % 2 == 0 for r in self.ratios), (
+            f"MelGANGenerator supports even upsample ratios only, got "
+            f"{self.ratios}")
         mult = 2 ** len(self.ratios)
         ch = mult * self.ngf
         w = self.param("conv_pre_w", nn.initializers.normal(0.02),
@@ -136,6 +143,9 @@ def convert_melgan_state_dict(
     this module's parameter pytree. Sequential indices follow the torch
     construction order: [pad, conv_pre] + per ratio [leaky, convT,
     resblock x n] + [leaky, pad, conv_post, tanh]."""
+    assert all(r % 2 == 0 for r in ratios), (
+        f"even upsample ratios required (odd ratios need output_padding=1, "
+        f"unsupported), got {ratios}")
     state = {k.replace("mel2wav.", ""): v for k, v in state.items()}
     params: dict = {}
     w, b = _t_conv(state, "model.1")
@@ -172,13 +182,22 @@ def load_torch_melgan(ckpt_path: str) -> dict:
     return {"params": convert_melgan_state_dict(state)}
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _infer(gen: MelGANGenerator, params, mels: jnp.ndarray) -> jnp.ndarray:
+    return gen.apply(params, mels / LN10)
+
+
 def melgan_infer(params, mels: jnp.ndarray, lengths=None,
                  hop_length: int = 256, gen: MelGANGenerator | None = None):
     """Batched natural-log mel -> waveform. The torch hub wrapper expects
-    log10 mels, so divide by ln(10) first (reference utils/model.py:77)."""
+    log10 mels, so divide by ln(10) first (reference utils/model.py:77).
+
+    Jitted once per (generator config, mel shape) via a module-level cache —
+    flax modules hash by field values — so repeated calls reuse the compiled
+    executable (and its one-time upload on the tunneled TPU)."""
     if gen is None:
         gen = MelGANGenerator()
-    wavs = jax.jit(gen.apply)(params, mels / LN10)
+    wavs = _infer(gen, params, mels)
     if lengths is not None:
         sample_lens = np.asarray(lengths) * hop_length
     else:

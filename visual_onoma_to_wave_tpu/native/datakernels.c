@@ -25,10 +25,12 @@ int fill_cells_f32(const uint8_t *img, int64_t height, int64_t width,
     const float inv = 1.0f / 255.0f;
     for (int64_t i = 0; i < n; i++) {
         int64_t w = widths[i];
-        int64_t copy_w = w;
-        if (copy_w > cell_width) copy_w = cell_width;          /* defensive */
+        int64_t w_req = w > cell_width ? cell_width : w;       /* defensive */
+        int64_t copy_w = w_req;
         if (x + copy_w > width) copy_w = width > x ? width - x : 0;
-        int64_t pad = cell_width - copy_w;
+        /* left offset from the requested (pre-image-clip) width, matching
+         * the Python fallback pad_character_cells in data/dataset.py */
+        int64_t pad = cell_width - w_req;
         int64_t left = pad / 2 + (pad & 1);                    /* ceil-left */
         float *cell = out + i * height * cell_width;
         for (int64_t r = 0; r < height; r++) {
@@ -52,10 +54,10 @@ int pad_cells_u8(const uint8_t *img, int64_t height, int64_t width,
     int64_t x = 0;
     for (int64_t i = 0; i < n; i++) {
         int64_t w = widths[i];
-        int64_t copy_w = w;
-        if (copy_w > cell_width) copy_w = cell_width;
+        int64_t w_req = w > cell_width ? cell_width : w;
+        int64_t copy_w = w_req;
         if (x + copy_w > width) copy_w = width > x ? width - x : 0;
-        int64_t pad = cell_width - copy_w;
+        int64_t pad = cell_width - w_req;          /* pre-image-clip width */
         int64_t left = pad / 2 + (pad & 1);
         uint8_t *cell = out + i * height * cell_width;
         for (int64_t r = 0; r < height; r++) {

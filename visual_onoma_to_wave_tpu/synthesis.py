@@ -50,6 +50,21 @@ class Synthesizer:
         self.text_bucket = 4
         self.mel_bucket = 64
 
+    def _encode(self, text: str) -> np.ndarray:
+        """Text -> ids. On the image path token ids are unused by the model
+        (reference Models.py:107-112), so out-of-vocabulary characters fall
+        back to PAD; on the text path an OOV character is a hard error."""
+        if self.use_image:
+            clean = text.replace("{", "").replace("}", "").replace("\n", "")
+            return np.asarray(
+                [self.symbol_map.get(c, 0) for c in clean], np.int32)
+        try:
+            return np.asarray(encode_text(text, self.symbol_map), np.int32)
+        except KeyError as e:
+            raise KeyError(
+                f"character {e.args[0]!r} not in the training vocabulary "
+                f"(use_image=False synthesizes from token ids)") from e
+
     def _render_cells(self, text: str, width_rates: Sequence[float]) -> np.ndarray:
         """(n_chars, H, cell_width) float32 cells in [0, 1], one per character,
         each glyph width-scaled and centered (prediction.ipynb cell-5 logic)."""
@@ -82,10 +97,7 @@ class Synthesizer:
 
         C = ((n + self.text_bucket - 1) // self.text_bucket) * self.text_bucket
         texts = np.zeros((1, C), np.int32)
-        try:
-            texts[0, :n] = encode_text(text, self.symbol_map)
-        except KeyError:
-            pass  # image path does not need ids; unseen chars allowed
+        texts[0, :n] = self._encode(text)
         batch = {
             "audiotypes": jnp.asarray([audiotype_id], jnp.int32),
             "texts": jnp.asarray(texts),
@@ -164,10 +176,7 @@ class Synthesizer:
                       if isinstance(at, str) else int(at))
             n = len(text)
             src_lens[i] = n
-            try:
-                text_ids[i, :n] = encode_text(text, self.symbol_map)
-            except KeyError:
-                pass
+            text_ids[i, :n] = self._encode(text)
             if self.use_image:
                 wr = width_rates[i] if width_rates[i] is not None else [1.0] * n
                 c = self._render_cells(text, wr)
