@@ -197,6 +197,35 @@ def test_trainer_text_path(tiny_env):
     trainer.ckpt.close()
 
 
+def test_mesh_batch_divisibility_guard(tiny_env):
+    """A batch size not divisible by the data mesh must be reconciled
+    loudly at init (mesh shrunk to the largest divisor) — never a silent
+    single-device run — and _place(strict=True) must reject ragged
+    training batches outright."""
+    from visual_onoma_to_wave_tpu.training.trainer import Trainer
+
+    # tiny_env batch_size=2, test env has 8 virtual devices -> gcd 2
+    with pytest.warns(UserWarning, match="not divisible"):
+        trainer = Trainer(tiny_env, use_mesh=True)
+    assert trainer.mesh is not None and trainer.mesh.size == 2
+    state = trainer.train(max_steps=1)
+    assert int(state.step) >= 1
+
+    # strict path: a ragged batch raises instead of silently unsharding
+    ragged = next(trainer.train_ds.batches(shuffle=False))
+    ragged = {k: (v[:1] if hasattr(v, "shape") else v[:1])
+              for k, v in ragged.items()}
+    with pytest.raises(ValueError, match="not divisible by the data-mesh"):
+        trainer._place({k: v for k, v in ragged.items()
+                        if k not in ("names", "mel_lens")}, strict=True)
+    # non-strict (eval tail): warn once and run single-device
+    with pytest.warns(UserWarning, match="single device"):
+        out = trainer._place({k: v for k, v in ragged.items()
+                              if k not in ("names", "mel_lens")})
+    assert out["texts"].shape[0] == 1
+    trainer.ckpt.close()
+
+
 def test_synthesize_oov_text(tiny_env):
     """Out-of-vocabulary characters: PAD fallback on the image path (ids are
     unused there), hard KeyError on the text path (advisor finding: silently

@@ -83,12 +83,17 @@ def test_data_parallel_equals_single_device():
     fake-backend distributed test; SURVEY.md §4f)."""
     model, batch = tiny_model_and_batch(batch=8)
     tx = make_optimizer(init_lr=1e-3, warmup_steps=10)
-    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch, use_image=False)
     step_fn = make_train_step(model, tx, use_image=False)
     rng = jax.random.PRNGKey(7)
 
+    # the train step donates its input state, so build one per run
+    # (same rng -> identical init)
+    def fresh_state():
+        return create_train_state(model, tx, jax.random.PRNGKey(0), batch,
+                                  use_image=False)
+
     # single device
-    s1 = state
+    s1 = fresh_state()
     for _ in range(3):
         s1, l1 = step_fn(s1, batch, rng)
 
@@ -96,7 +101,7 @@ def test_data_parallel_equals_single_device():
     mesh = get_mesh(8)
     assert mesh.size == 8
     sharded = shard_batch(batch, mesh)
-    s8 = state
+    s8 = fresh_state()
     for _ in range(3):
         s8, l8 = step_fn(s8, sharded, rng)
 
@@ -223,7 +228,8 @@ def test_grad_accumulation_equals_big_batch():
 
     tx2 = make_optimizer(init_lr=1e-2, warmup_steps=1, grad_acc_steps=2)
     s2 = create_train_state(model, tx2, jax.random.PRNGKey(7), halves[0], True)
-    init_params = s2.params
+    # host copy: the train step donates its input state's buffers
+    init_params = jax.tree.map(lambda x: np.asarray(x).copy(), s2.params)
     step2 = make_train_step(model, tx2, True)
     s2, _ = step2(s2, halves[0], key)
     # mid-accumulation: params must be UNCHANGED (MultiSteps holds the grad)

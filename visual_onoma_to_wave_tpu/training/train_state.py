@@ -77,7 +77,12 @@ def make_train_step(model, tx: optax.GradientTransformation,
         losses = fastspeech2_loss(outputs, batch)
         return losses["total_loss"], (losses, mutated["batch_stats"])
 
-    @jax.jit
+    # Donate the incoming state: params/opt_state buffers (~3x params HBM
+    # for Adam) are reused for the updated state instead of living alongside
+    # it. Callers must treat the passed-in state as consumed (the trainer
+    # reassigns self.state every step). Eval/synth steps do NOT donate —
+    # their state is reused across the whole val split.
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         dropout_rng = jax.random.fold_in(rng, state.step)
         grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(

@@ -74,6 +74,22 @@ class Trainer:
             sample, self.use_image)
 
         self.mesh = get_mesh(config.train.data_parallel_devices) if use_mesh else None
+        if self.mesh is not None and self.mesh.size > 1:
+            bs = config.train.optimizer.batch_size
+            if bs % self.mesh.size != 0:
+                # a mis-sized config must not silently train single-device:
+                # shrink the mesh to the largest device count dividing the
+                # batch and say so (reference DataParallel scattered whatever
+                # fit, 04_train.py:75)
+                import math
+                import warnings
+                n = math.gcd(bs, self.mesh.size)
+                warnings.warn(
+                    f"train.optimizer.batch_size={bs} is not divisible by "
+                    f"the {self.mesh.size}-device data mesh; using "
+                    f"{n} device(s). Set batch_size to a multiple of the "
+                    f"device count for full utilization.")
+                self.mesh = get_mesh(n) if n > 1 else None
         self.ckpt = CheckpointManager(config.path.ckpt)
         if restore_step == -1:  # -1 = latest available (extension over reference)
             restore_step = self.ckpt.latest_step()
@@ -91,12 +107,32 @@ class Trainer:
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps
         self._profiling = False
+        self._warned_unsharded = False
 
     # ------------------------------------------------------------------
-    def _place(self, batch: dict) -> dict:
-        if self.mesh is not None and self.mesh.size > 1 and \
-                batch["texts"].shape[0] % self.mesh.size == 0:
+    def _place(self, batch: dict, strict: bool = False) -> dict:
+        """Shard the batch over the data mesh. A batch not divisible by the
+        mesh size cannot be sharded: hard error for training batches
+        (strict=True — a mis-sized config must not silently train
+        single-device), one warning then single-device for ragged eval
+        tails."""
+        if self.mesh is None or self.mesh.size <= 1:
+            return batch
+        bs = batch["texts"].shape[0]
+        if bs % self.mesh.size == 0:
             return shard_batch(batch, self.mesh)
+        if strict:
+            raise ValueError(
+                f"training batch size {bs} is not divisible by the data-mesh "
+                f"size {self.mesh.size}; set train.optimizer.batch_size to a "
+                f"multiple of data_parallel_devices")
+        if not self._warned_unsharded:
+            self._warned_unsharded = True
+            msg = (f"batch size {bs} not divisible by mesh size "
+                   f"{self.mesh.size}; running this batch on a single device")
+            import warnings
+            warnings.warn(msg)
+            self.train_log.text(f"WARNING: {msg}")
         return batch
 
     def n_params(self) -> int:
@@ -109,14 +145,17 @@ class Trainer:
         total = max_steps if max_steps is not None else cfg.step.total_step
         step = int(self.state.step)
         epoch = 0
+        mesh_info = (f"{self.mesh.size}-device data mesh "
+                     f"({self.mesh.devices.flat[0].platform})"
+                     if self.mesh is not None else "single device (no mesh)")
         print(f"training: {self.n_params()/1e6:.2f}M params, "
-              f"{len(self.train_ds)} clips, target {total} steps")
+              f"{len(self.train_ds)} clips, target {total} steps, {mesh_info}")
         from visual_onoma_to_wave_tpu.data.prefetch import prefetch
         while step < total:
             epoch += 1
             for batch in prefetch(self.train_ds.batches(
                     group_size=4, seed=self.config.train.seed + epoch)):
-                jb = self._place(_jit_batch(batch))
+                jb = self._place(_jit_batch(batch), strict=True)
                 self._maybe_profile(step)
                 self.timer.start()
                 self.state, losses = self.train_step(self.state, jb, self._rng)
