@@ -40,17 +40,15 @@ def main(argv=None):
     from visual_onoma_to_wave_tpu.cli import load_config
     from visual_onoma_to_wave_tpu.data.audio_io import write_wav
     from visual_onoma_to_wave_tpu.synthesis import Synthesizer
-    from visual_onoma_to_wave_tpu.training.trainer import Trainer
-    from visual_onoma_to_wave_tpu.utils.checkpoint import load_params
     from visual_onoma_to_wave_tpu.utils.plotting import plot_mel
 
     cfg = load_config(args.config)
-    vocoder_params = load_params(args.vocoder) if args.vocoder else None
-    trainer = Trainer(cfg, restore_step=args.ckpt_step or -1, use_mesh=False)
-    synth = Synthesizer(cfg, trainer.model, trainer.state, trainer.metadata,
-                        trainer.train_ds.symbol_map, vocoder_params)
+    # standalone serving entry: metadata + vocabulary + params, no Trainer
+    # (mirrors prediction.ipynb cell 2: get_model + get_vocoder only)
+    synth = Synthesizer.from_checkpoint(
+        cfg, vocoder=args.vocoder, restore_step=args.ckpt_step or -1)
 
-    audiotype = args.audiotype or next(iter(trainer.metadata.audiotype_map))
+    audiotype = args.audiotype or next(iter(synth.metadata.audiotype_map))
     rates = ([float(x) for x in args.width_rates.split(",")]
              if args.width_rates else None)
     res = synth.synthesize(args.text, audiotype, width_rates=rates,

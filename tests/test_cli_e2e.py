@@ -139,6 +139,24 @@ def test_cli_full_pipeline(corpus, capsys):
     out = capsys.readouterr().out
     assert "mel frames" in out
 
+    # standalone serving: synthesize must work with NO split txt files
+    # present (metadata + symbols.json + checkpoint only) — the reference
+    # demo likewise loads only model + vocoder + maps (prediction.ipynb)
+    moved = []
+    for name in ("train.txt", "val.txt", "test.txt"):
+        p = pre / name
+        q = pre / (name + ".hidden")
+        p.rename(q)
+        moved.append((p, q))
+    try:
+        cli_main(["synthesize", cfg, "--text", "パン", "--audiotype", "drum",
+                  "--out", str(root / "synth2.wav")])
+        out = capsys.readouterr().out
+        assert "mel frames" in out
+    finally:
+        for p, q in moved:
+            q.rename(p)
+
 
 def test_cli_convert_vocoder_roundtrip(tmp_path, capsys):
     """convert-vocoder consumes a real torch checkpoint file (torch.save)

@@ -90,21 +90,13 @@ def cmd_evaluate(args):
 def cmd_synthesize(args):
     from visual_onoma_to_wave_tpu.data.audio_io import write_wav
     from visual_onoma_to_wave_tpu.synthesis import Synthesizer
-    from visual_onoma_to_wave_tpu.training.trainer import Trainer
-    from visual_onoma_to_wave_tpu.utils.checkpoint import load_params
 
     cfg = load_config(args.config)
-    restore = args.restore_step if args.restore_step is not None else -1
-    trainer = Trainer(cfg, restore_step=restore, use_mesh=False)
-    if getattr(args, "acoustic", None):
-        # converted reference checkpoint (orbax dir from convert-acoustic)
-        variables = load_params(args.acoustic)
-        trainer.state = trainer.state.replace(
-            params=variables["params"],
-            batch_stats=variables.get("batch_stats", trainer.state.batch_stats))
-    vocoder_params = load_params(args.vocoder) if args.vocoder else None
-    synth = Synthesizer(cfg, trainer.model, trainer.state, trainer.metadata,
-                        trainer.train_ds.symbol_map, vocoder_params)
+    # standalone serving: metadata + vocabulary + params only — no Trainer,
+    # no train dataset, no train-step compile (works with no train.txt)
+    synth = Synthesizer.from_checkpoint(
+        cfg, acoustic=getattr(args, "acoustic", None), vocoder=args.vocoder,
+        restore_step=args.restore_step)
     rates = ([float(x) for x in args.width_rates.split(",")]
              if args.width_rates else None)
     result = synth.synthesize(args.text, args.audiotype, width_rates=rates,

@@ -464,3 +464,8 @@ class Preprocessor:
             with open(self.out / fname, "w") as f:
                 for p in chunk:
                     f.write(p.read_text() + "\n")
+        # persist the vocabulary: serving from a checkpoint then needs only
+        # the metadata jsons, not the split txt files
+        from visual_onoma_to_wave_tpu.data.symbols import (
+            build_symbol_map, save_symbol_map)
+        save_symbol_map(self.out, build_symbol_map(self.out))

@@ -6,9 +6,11 @@ at 1 (0 is PAD, reference transformer/Constants.py:1).
 """
 from __future__ import annotations
 
+import json
 import pathlib
 
 PAD_ID = 0
+SYMBOLS_FILE = "symbols.json"
 
 
 def build_symbol_map(preprocessed_dir: str | pathlib.Path,
@@ -31,3 +33,21 @@ def build_symbol_map(preprocessed_dir: str | pathlib.Path,
 def encode_text(text: str, symbol_map: dict[str, int]) -> list[int]:
     clean = text.replace("{", "").replace("}", "").replace("\n", "")
     return [symbol_map[c] for c in clean]
+
+
+def save_symbol_map(directory: str | pathlib.Path,
+                    symbol_map: dict[str, int]) -> None:
+    """Persist the vocabulary so serving does not need the split txt files
+    (the reference rebuilds it from train/val/test.txt every time)."""
+    p = pathlib.Path(directory) / SYMBOLS_FILE
+    p.write_text(json.dumps(symbol_map, ensure_ascii=False, sort_keys=True),
+                 encoding="utf-8")
+
+
+def load_symbol_map(directory: str | pathlib.Path) -> dict[str, int] | None:
+    """Load symbols.json from `directory`, or None if absent."""
+    p = pathlib.Path(directory) / SYMBOLS_FILE
+    if not p.exists():
+        return None
+    return {k: int(v) for k, v in
+            json.loads(p.read_text(encoding="utf-8")).items()}

@@ -50,6 +50,61 @@ class Synthesizer:
         self.text_bucket = 4
         self.mel_bucket = 64
 
+    @classmethod
+    def from_checkpoint(
+        cls,
+        config: Config,
+        acoustic: Optional[str] = None,
+        vocoder: Optional[str] = None,
+        restore_step: Optional[int] = None,
+    ) -> "Synthesizer":
+        """Standalone serving entry: load metadata + vocabulary + params
+        without constructing a Trainer (no train dataset, no optimizer, no
+        train-step compile). Mirrors the reference demo, which only loads
+        get_model + get_vocoder + a Dataset for its maps
+        (prediction.ipynb cell 2).
+
+        acoustic: orbax params dir from `cli convert-acoustic` (takes
+            priority); otherwise the latest / `restore_step` training
+            checkpoint under config.path.ckpt is used.
+        vocoder: orbax params dir from `cli convert-vocoder`.
+
+        The vocabulary comes from symbols.json (stamped into the ckpt dir by
+        the Trainer and into the preprocessed dir by the Preprocessor); the
+        split txt files are only a fallback, so serving works with no
+        train.txt present.
+        """
+        import jax.numpy as jnp
+
+        from visual_onoma_to_wave_tpu.data.symbols import (
+            build_symbol_map, load_symbol_map)
+        from visual_onoma_to_wave_tpu.models import VTTS
+        from visual_onoma_to_wave_tpu.utils.checkpoint import (
+            CheckpointManager, load_params)
+
+        metadata = DatasetMetadata.load(config.path.preprocessed)
+        symbol_map = (load_symbol_map(config.path.ckpt)
+                      or load_symbol_map(config.path.preprocessed)
+                      or build_symbol_map(config.path.preprocessed))
+        model = VTTS.from_config(config, metadata, n_vocab=len(symbol_map))
+
+        if acoustic is not None:
+            variables = load_params(acoustic)
+            params = variables["params"]
+            batch_stats = variables.get("batch_stats") or {}
+        else:
+            mgr = CheckpointManager(config.path.ckpt)
+            try:
+                tree = mgr.restore_raw(restore_step)
+            finally:
+                mgr.close()
+            params = tree["params"]
+            batch_stats = tree.get("batch_stats") or {}
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           batch_stats=batch_stats, opt_state=None)
+        vocoder_params = load_params(vocoder) if vocoder is not None else None
+        return cls(config, model, state, metadata, symbol_map, vocoder_params)
+
     def _encode(self, text: str) -> np.ndarray:
         """Text -> ids. On the image path token ids are unused by the model
         (reference Models.py:107-112), so out-of-vocabulary characters fall

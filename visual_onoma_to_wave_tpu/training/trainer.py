@@ -91,6 +91,10 @@ class Trainer:
                     f"device count for full utilization.")
                 self.mesh = get_mesh(n) if n > 1 else None
         self.ckpt = CheckpointManager(config.path.ckpt)
+        # stamp the vocabulary next to the checkpoints: a checkpoint dir is
+        # then self-describing for serving (Synthesizer.from_checkpoint)
+        from visual_onoma_to_wave_tpu.data.symbols import save_symbol_map
+        save_symbol_map(self.ckpt.dir, self.train_ds.symbol_map)
         if restore_step == -1:  # -1 = latest available (extension over reference)
             restore_step = self.ckpt.latest_step()
         if restore_step is not None:

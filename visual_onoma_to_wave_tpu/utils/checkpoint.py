@@ -38,6 +38,29 @@ class CheckpointManager:
             raise FileNotFoundError(f"no checkpoint under {self.dir}")
         return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
 
+    def restore_raw(self, step: int | None = None) -> dict:
+        """Restore a checkpoint WITHOUT a template TrainState: returns the
+        raw pytree (dict with params / batch_stats / opt_state / step).
+        Serving uses this to avoid building a model + optimizer just to get
+        a restore target (reference get_model builds the full training stack,
+        utils/model.py:10-33).
+
+        Restores onto the CURRENT device topology (fully local/replicated):
+        a checkpoint written by an N-device training mesh loads fine on a
+        single serving chip."""
+        if step is None or step == -1:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.dir}")
+        path = self.dir / str(step) / "default"
+        ckptr = ocp.StandardCheckpointer()
+        meta = ckptr.metadata(path).item_metadata.tree
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        abstract = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                           sharding=sharding), meta)
+        return ckptr.restore(path, target=abstract)
+
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
