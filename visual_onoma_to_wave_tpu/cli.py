@@ -62,7 +62,7 @@ def cmd_prepare_tg(args):
 def cmd_preprocess(args):
     from visual_onoma_to_wave_tpu.data.preprocess import Preprocessor
     cfg = load_config(args.config)
-    result = Preprocessor(cfg).build()
+    result = Preprocessor(cfg, num_workers=args.num_workers).build()
     print(json.dumps(result))
 
 
@@ -154,6 +154,8 @@ def main(argv=None):
 
     s = sub.add_parser("preprocess", help="feature extraction (03_preprocess)")
     s.add_argument("config")
+    s.add_argument("--num-workers", type=int, default=None,
+                   help="host worker processes (reference --num_workers)")
     s.set_defaults(fn=cmd_preprocess)
 
     s = sub.add_parser("train", help="train the acoustic model (04_train)")

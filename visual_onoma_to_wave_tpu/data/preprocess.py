@@ -19,9 +19,9 @@ preprocessed directories are interchangeable between the two frameworks.
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import random
-import shutil
 from dataclasses import dataclass
 
 import numpy as np
@@ -37,8 +37,43 @@ from visual_onoma_to_wave_tpu.data.renderer import (
 )
 
 MAX_CHARS = 48          # static char-axis bucket for device kernels
-BATCH_CLIPS = 16        # clips per device batch
-NUM_HOST_WORKERS = 8    # host IO thread pool (reference joblib n_jobs)
+BATCH_CLIPS = 64        # clips per device batch (few round trips on tunnels)
+NUM_HOST_WORKERS = 10   # host worker processes (reference joblib n_jobs=10,
+                        # preprocessor.py:64-66)
+MIN_CLIPS_FOR_PROCS = 64  # below this, pool startup dominates: use threads
+DSP_PROBE_MIN_CLIPS = 512  # probe TPU-vs-CPU DSP throughput above this
+
+
+# ---------------------------------------------------------------------------
+# process-pool workers (spawn context: workers never touch jax / the TPU
+# client). State is built once per worker by _worker_init.
+# ---------------------------------------------------------------------------
+_WORKER: "Preprocessor | None" = None
+
+
+def _worker_init(config: Config) -> None:
+    global _WORKER
+    _WORKER = Preprocessor(config)
+
+
+def _worker_load_clip(args) -> "ClipTask | None":
+    label, line = args
+    return _WORKER._load_clip(label, line)
+
+
+def _worker_render(args) -> np.ndarray:
+    label, cps, text, wav_sec, basename = args
+    return _WORKER._render_one(label, cps, text, wav_sec, basename)
+
+
+def _worker_augment(args):
+    label, basename, text, duration, energy, kurtosis, width = args
+    return _WORKER._augment(label, basename, text, duration, energy,
+                            kurtosis, width)
+
+
+def _worker_probe(_) -> int:
+    return os.getpid()
 
 
 def _get_basename(font_stem: str, fontsize: int, stem: str, ext: str = "") -> str:
@@ -65,8 +100,11 @@ class ClipTask:
 
 
 class Preprocessor:
-    def __init__(self, config: Config):
+    def __init__(self, config: Config, num_workers: int | None = None):
         self.config = config
+        self.num_workers = (NUM_HOST_WORKERS if num_workers is None
+                            else max(1, num_workers))
+        self._renderers: dict[str, VisualTextRenderer] = {}
         self.paths = config.path
         self.sr = config.audio.sampling_rate
         st = config.audio.stft
@@ -79,18 +117,20 @@ class Preprocessor:
         self.out = pathlib.Path(self.paths.preprocessed)
         self.formatted = pathlib.Path(self.paths.formatted)
         self._device_fn = None
+        self._dsp_cpu = False   # resolved by _maybe_probe_dsp_backend
 
     # ------------------------------------------------------------------
     # device DSP
     # ------------------------------------------------------------------
-    def _features_batched(self, audios: list[np.ndarray],
-                          durations: list[np.ndarray]):
-        """Run the fused feature kernel over a batch of clips.
+    def _features_dispatch(self, audios: list[np.ndarray],
+                           durations: list[np.ndarray]):
+        """Dispatch the fused feature kernel over a batch of clips; returns
+        un-materialized device arrays so the caller can overlap the device
+        compute with host work (saving the previous batch).
 
-        Pads clips to a shared power-of-two-ish bucket (after host reflect
+        Pads clips to a shared power-of-two bucket (after host reflect
         pre-padding so zero-pad can't perturb torchaudio-center semantics) and
-        vmaps on device. Returns per-clip (logmel (T_i, M), char_energy,
-        kurtosis) truncated to sum(durations).
+        vmaps on device.
         """
         import jax
         import jax.numpy as jnp
@@ -99,8 +139,19 @@ class Preprocessor:
         )
 
         if self._device_fn is None:
-            self._window = jnp.asarray(hann_window(self.win))
-            self._melfb = jnp.asarray(melscale_fbanks(
+            # persistent compile cache: repeated preprocessing runs (and the
+            # handful of length buckets) skip recompiles entirely
+            if jax.config.jax_compilation_cache_dir is None:
+                import tempfile
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    os.path.join(tempfile.gettempdir(), "vow_jax_cache"))
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 0.5)
+            # uncommitted host arrays: they follow jax.default_device, so the
+            # same code serves both the accelerator and the CPU-fallback path
+            self._window = np.asarray(hann_window(self.win))
+            self._melfb = np.asarray(melscale_fbanks(
                 self.n_fft // 2 + 1, self.fmin, self.fmax, self.n_mels, self.sr))
             # On TPU the fused Pallas frontend (ops/pallas_mel.py) keeps the
             # (F, T) spectrogram out of HBM entirely; elsewhere fall back to
@@ -112,9 +163,12 @@ class Preprocessor:
         pad = self.n_fft // 2
         pre = [np.pad(np.clip(a, -1, 1), pad, mode="reflect") for a in audios]
         max_len = max(len(p) for p in pre)
-        # bucket to multiples of 32 hops to bound jit specializations
-        bucket = self.n_fft + ((max_len - self.n_fft + 32 * self.hop - 1)
-                               // (32 * self.hop)) * 32 * self.hop
+        # bucket to power-of-two multiples of 32 hops: with length-sorted
+        # batching this bounds the distinct compiled shapes to ~4 while
+        # keeping padding waste low
+        units = (max_len - self.n_fft + 32 * self.hop - 1) // (32 * self.hop)
+        units = 1 << max(0, int(np.ceil(np.log2(max(units, 1)))))
+        bucket = self.n_fft + units * 32 * self.hop
         batch_audio = np.zeros((len(pre), bucket), np.float32)
         for i, p in enumerate(pre):
             batch_audio[i, : len(p)] = p
@@ -122,6 +176,16 @@ class Preprocessor:
         for i, d in enumerate(durations):
             dur_pad[i, : len(d)] = d
 
+        if self._dsp_cpu:
+            # adaptive fallback (see _maybe_probe_dsp_backend): on hosts where
+            # the accelerator link is slower than local compute (e.g. a
+            # tunneled TPU), run the identical jnp path on the CPU backend
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                return self._device_fn(
+                    jnp.asarray(batch_audio), jnp.asarray(dur_pad),
+                    jnp.asarray(self._window), jnp.asarray(self._melfb),
+                    MAX_CHARS, self.n_fft, self.hop, self.win,
+                )
         if self._use_pallas:
             from visual_onoma_to_wave_tpu.ops.pallas_mel import (
                 pallas_clip_features,
@@ -134,18 +198,70 @@ class Preprocessor:
         else:
             logmel, char_e, kurt = self._device_fn(
                 jnp.asarray(batch_audio), jnp.asarray(dur_pad),
-                self._window, self._melfb, MAX_CHARS,
+                jnp.asarray(self._window), jnp.asarray(self._melfb), MAX_CHARS,
                 self.n_fft, self.hop, self.win,
             )
-        logmel = np.asarray(logmel)
-        char_e = np.asarray(char_e)
-        kurt = np.asarray(kurt)
+        return logmel, char_e, kurt
+
+    def _maybe_probe_dsp_backend(self, tasks: list[ClipTask],
+                                 total_clips: int, verbose: bool) -> None:
+        """Pick the faster DSP backend for THIS host: accelerator vs local
+        CPU. On a tunneled TPU the device compute is ~free but every batch
+        pays a host<->device round trip of the audio + mel tensors; when that
+        link is slower than local FFT compute (or simply flaky), the CPU
+        backend wins. One timed batch each way decides; probe cost is
+        amortized over large corpora only."""
+        import time
+
+        import jax
+
+        forced = os.environ.get("VOW_DSP_BACKEND", "").lower()
+        if forced in ("cpu", "device"):
+            self._dsp_cpu = (forced == "cpu"
+                             and jax.devices()[0].platform != "cpu")
+            return
+        if (jax.devices()[0].platform == "cpu"
+                or total_clips < DSP_PROBE_MIN_CLIPS or len(tasks) == 0):
+            return
+        chunk = tasks[: min(BATCH_CLIPS, len(tasks))]
+        audios = [t.audio for t in chunk]
+        durs = [t.durations for t in chunk]
+
+        def timed() -> float:
+            self._features_finalize(self._features_dispatch(audios, durs), durs)
+            t0 = time.perf_counter()
+            self._features_finalize(self._features_dispatch(audios, durs), durs)
+            return time.perf_counter() - t0
+
+        t_dev = timed()
+        self._dsp_cpu = True
+        t_cpu = timed()
+        # require a decisive device win: a tunneled TPU link has terrible
+        # tail latency (measured 0.2 s .. multi-second stalls per batch), so
+        # a near-tie goes to the stable local path. On directly-attached TPU
+        # hosts the device is >10x faster and always wins this test.
+        self._dsp_cpu = not (t_dev < 0.7 * t_cpu)
+        if verbose:
+            print(f"preprocess DSP backend: "
+                  f"{'cpu' if self._dsp_cpu else jax.devices()[0].platform} "
+                  f"(device {t_dev*1e3:.0f} ms vs cpu {t_cpu*1e3:.0f} ms "
+                  f"per {len(chunk)}-clip batch)")
+
+    @staticmethod
+    def _features_finalize(dev, durations: list[np.ndarray]):
+        """Materialize a dispatched device batch and slice per clip."""
+        logmel, char_e, kurt = (np.asarray(x) for x in dev)
         out = []
         for i, d in enumerate(durations):
             total = int(d.sum())
             n = len(d)
             out.append((logmel[i, :, :total].T, char_e[i, :n], kurt[i, :n]))
         return out
+
+    def _features_batched(self, audios: list[np.ndarray],
+                          durations: list[np.ndarray]):
+        return self._features_finalize(
+            self._features_dispatch(audios, durations), durations)
 
     # ------------------------------------------------------------------
     # pass 1: per-clip feature extraction
@@ -184,27 +300,88 @@ class Preprocessor:
         return ClipTask(label, line, basename, text, trimmed, al.durations)
 
     def _save_clip(self, t: ClipTask, mel: np.ndarray, energy: np.ndarray,
-                   kurtosis: np.ndarray) -> None:
+                   kurtosis: np.ndarray):
         np.save(self.out / "duration" / t.label / f"{t.basename}.npy", t.durations)
         np.save(self.out / "energy" / t.label / f"{t.basename}.npy", energy)
         np.save(self.out / "kurtosis" / t.label / f"{t.basename}.npy", kurtosis)
         np.save(self.out / "mel" / t.label / f"{t.basename}.npy", mel)
-        self._write_info(t.label, t.basename, t.text)
+        return (self._info_row(t.label, t.basename, t.text),
+                (t.label, t.basename, energy, kurtosis))
 
-    def _write_info(self, label: str, savename: str, text: str) -> None:
+    def _info_row(self, label: str, savename: str, text: str) -> tuple:
+        """Split-routing row, kept in memory (the reference round-trips these
+        through one tiny file per clip under intermediate/info/,
+        preprocessor.py:411-421 — thousands of extra file opens)."""
         info = f"{savename}|{label}|{self.fontsize}|{self.font_stem}|{text}"
-        sub = "train" if _is_traindata(savename, self.config.dataset.valtest_id) else "val_test"
-        p = self.out / "intermediate" / "info" / sub / label / f"{savename}.txt"
-        p.write_text(info)
+        sub = ("train"
+               if _is_traindata(savename, self.config.dataset.valtest_id)
+               else "val_test")
+        return (sub, label, f"{savename}.txt", info)
+
+    def _renderer_for(self, label: str, cps: float) -> VisualTextRenderer:
+        r = self._renderers.get(label)
+        if r is None:
+            r = VisualTextRenderer.from_config(self.config, chars_per_sec=cps)
+            self._renderers[label] = r
+        return r
+
+    def _render_one(self, label: str, cps: float, text: str, wav_sec: float,
+                    basename: str) -> np.ndarray:
+        _, widths = self._renderer_for(label, cps).draw(
+            text, wav_sec,
+            save_image=self.out / "image" / "png" / label / f"{basename}.png",
+            save_width=self.out / "image" / "width" / label / f"{basename}.npy",
+        )
+        return widths
+
+    def _make_pool(self, n_items: int):
+        """Host-parallel pool for the per-clip passes.
+
+        Large corpora fan out over worker PROCESSES (spawn context — workers
+        never touch jax/the TPU client), matching the reference's joblib
+        n_jobs=10 processes (preprocessor.py:64-66) instead of GIL-bound
+        threads. Small corpora (or num_workers=1) use threads: pool startup
+        would dominate.
+        """
+        global _WORKER
+        try:
+            cpus = len(os.sched_getaffinity(0))
+        except AttributeError:
+            cpus = os.cpu_count() or 1
+        if (self.num_workers > 1 and n_items >= MIN_CLIPS_FOR_PROCS
+                and cpus >= 4):
+            # fewer cores than this and worker startup + pickling costs more
+            # than the parallelism buys (single-core hosts: threads win by
+            # overlapping file IO with compute)
+            try:
+                import multiprocessing
+                from concurrent.futures import ProcessPoolExecutor
+                pool = ProcessPoolExecutor(
+                    max_workers=self.num_workers,
+                    mp_context=multiprocessing.get_context("spawn"),
+                    initializer=_worker_init, initargs=(self.config,))
+                # eager probe: surface spawn/pickling failures here and fall
+                # back to threads rather than dying mid-pass
+                list(pool.map(_worker_probe, [0]))
+                return pool, "process"
+            except Exception:
+                pass
+        from concurrent.futures import ThreadPoolExecutor
+        _WORKER = self
+        return ThreadPoolExecutor(max_workers=self.num_workers), "thread"
+
+    def _save_batch(self, io_pool, chunk: list[ClipTask], dev) -> list:
+        """Materialize a dispatched device batch and queue the np.save IO.
+        Each future resolves to (info_row, (label, name, energy, kurtosis))."""
+        feats = self._features_finalize(dev, [t.durations for t in chunk])
+        return [io_pool.submit(self._save_clip, t, *f)
+                for t, f in zip(chunk, feats)]
 
     def _makedirs(self, label: str) -> None:
         for d in ("duration", "energy", "kurtosis", "mel"):
             (self.out / d / label).mkdir(parents=True, exist_ok=True)
         (self.out / "image" / "png" / label).mkdir(parents=True, exist_ok=True)
         (self.out / "image" / "width" / label).mkdir(parents=True, exist_ok=True)
-        for sub in ("train", "val_test"):
-            (self.out / "intermediate" / "info" / sub / label).mkdir(
-                parents=True, exist_ok=True)
 
     # ------------------------------------------------------------------
     # main build
@@ -222,75 +399,118 @@ class Preprocessor:
         width_dumps: dict[str, tuple] = {}
         per_label_tasks: dict[str, list[ClipTask]] = {}
         n_frames_cnt = 0
+        info_rows: list[tuple] = []          # split routing, in memory
+        norm_map: dict[tuple, np.ndarray] = {}  # saved energy/kurt values
+        width_map: dict[tuple, np.ndarray] = {}  # rendered char widths
 
+        label_lines = {
+            label: [ln for ln in (self.formatted / "text" / label / "data.txt"
+                                  ).read_text().splitlines() if ln.strip()]
+            for label in labels
+        }
+        # host work (wav read, TextGrid parse, align; render; augment) fans
+        # out over worker processes — the reference's joblib n_jobs analog
+        pool, pool_kind = self._make_pool(sum(map(len, label_lines.values())))
         from concurrent.futures import ThreadPoolExecutor
-        pool = ThreadPoolExecutor(max_workers=NUM_HOST_WORKERS)
+        io_pool = ThreadPoolExecutor(max_workers=4)   # np.save offload
+        if verbose:
+            print(f"preprocess: {self.num_workers} {pool_kind} workers")
 
-        # ---- pass 1: features -------------------------------------------------
-        for label in labels:
-            self._makedirs(label)
-            lines = (self.formatted / "text" / label / "data.txt").read_text().splitlines()
-            # host IO (wav read, TextGrid parse, alignment) fans out over the
-            # thread pool — the analog of the reference's joblib workers
-            tasks = [t for t in pool.map(
-                lambda ln: self._load_clip(label, ln),
-                [ln for ln in lines if ln.strip()]) if t is not None]
-            # device batches
-            for i in range(0, len(tasks), BATCH_CLIPS):
-                chunk = tasks[i : i + BATCH_CLIPS]
-                feats = self._features_batched(
-                    [t.audio for t in chunk], [t.durations for t in chunk])
-                for t, (mel, energy, kurt) in zip(chunk, feats):
-                    self._save_clip(t, mel, energy, kurt)
-                    n_frames_cnt += mel.shape[0]
-            wav_lens = np.array([len(t.audio) for t in tasks])
-            text_lens = np.array([len(t.text) for t in tasks])
-            if len(tasks):
-                width_dumps[label] = compute_visualtext_info(
-                    wav_lens, text_lens, self.sr, self.fontsize)
-            per_label_tasks[label] = tasks
-            if verbose:
-                print(f"label {label}: kept {len(tasks)}/{len(lines)}")
+        try:
+            # ---- pass 1: features ---------------------------------------------
+            for label in labels:
+                self._makedirs(label)
+                lines = label_lines[label]
+                tasks = [t for t in pool.map(
+                    _worker_load_clip, [(label, ln) for ln in lines],
+                    chunksize=8) if t is not None]
+                # length-sorted device batches: minimal padding, and the
+                # power-of-two buckets keep the compiled-shape set tiny
+                tasks.sort(key=lambda t: len(t.audio))
+                if label == labels[0]:
+                    self._maybe_probe_dsp_backend(
+                        tasks, sum(map(len, label_lines.values())), verbose)
+                # software pipeline: keep a few batches in flight so device
+                # compute and (on tunneled TPUs, slow) device->host transfers
+                # overlap the host-side materialize + save work
+                # one batch in flight: the device crunches batch i while the
+                # host materializes + saves batch i-1 (deeper queues measure
+                # WORSE on the tunneled TPU platform — serialized transport)
+                pending = None
+                save_futs = []
+                for i in range(0, len(tasks), BATCH_CLIPS):
+                    chunk = tasks[i : i + BATCH_CLIPS]
+                    dev = self._features_dispatch(
+                        [t.audio for t in chunk], [t.durations for t in chunk])
+                    if pending is not None:
+                        save_futs += self._save_batch(io_pool, *pending)
+                    pending = (chunk, dev)
+                if pending is not None:
+                    save_futs += self._save_batch(io_pool, *pending)
+                for f in save_futs:
+                    row, (lbl, name, e, k) = f.result()
+                    info_rows.append(row)
+                    norm_map[("energy", lbl, name)] = e
+                    norm_map[("kurtosis", lbl, name)] = k
+                n_frames_cnt += sum(int(t.durations.sum()) for t in tasks)
+                wav_lens = np.array([len(t.audio) for t in tasks])
+                text_lens = np.array([len(t.text) for t in tasks])
+                if len(tasks):
+                    width_dumps[label] = compute_visualtext_info(
+                        wav_lens, text_lens, self.sr, self.fontsize)
+                per_label_tasks[label] = tasks
+                if verbose:
+                    print(f"label {label}: kept {len(tasks)}/{len(lines)}")
 
-        with open(self.out / "audiotype.json", "w") as f:
-            json.dump(audio_labels, f)
-        with open(self.out / "label_width.json", "w") as f:
-            json.dump({k: list(v) for k, v in width_dumps.items()}, f)
+            with open(self.out / "audiotype.json", "w") as f:
+                json.dump(audio_labels, f)
+            with open(self.out / "label_width.json", "w") as f:
+                json.dump({k: list(v) for k, v in width_dumps.items()}, f)
 
-        # ---- pass 2: visual onomatopoeia --------------------------------------
-        entire_max_width = 0
-        for label in labels:
-            if label not in width_dumps:
-                continue
-            cps, max_w, _ = width_dumps[label]
-            renderer = VisualTextRenderer.from_config(cfg, chars_per_sec=cps)
+            # ---- pass 2: visual onomatopoeia ----------------------------------
+            entire_max_width = 0
+            for label in labels:
+                if label not in width_dumps:
+                    continue
+                cps, max_w, _ = width_dumps[label]
+                tasks = per_label_tasks[label]
+                widths = list(pool.map(
+                    _worker_render,
+                    [(label, float(cps), t.text, len(t.audio) / self.sr,
+                      t.basename) for t in tasks],
+                    chunksize=8))
+                for t, w in zip(tasks, widths):
+                    width_map[(label, t.basename)] = w
+                entire_max_width = max(entire_max_width, int(max_w))
+            with open(self.out / "visual_text.json", "w") as f:
+                json.dump({"max_pixelsize": [int(entire_max_width)],
+                           "height": [self.fontsize]}, f)
 
-            def render_one(t, label=label, renderer=renderer):
-                renderer.draw(
-                    t.text, len(t.audio) / self.sr,
-                    save_image=self.out / "image" / "png" / label / f"{t.basename}.png",
-                    save_width=self.out / "image" / "width" / label / f"{t.basename}.npy",
-                )
-
-            list(pool.map(render_one, per_label_tasks[label]))
-            entire_max_width = max(entire_max_width, int(max_w))
-        with open(self.out / "visual_text.json", "w") as f:
-            json.dump({"max_pixelsize": [int(entire_max_width)],
-                       "height": [self.fontsize]}, f)
-
-        # ---- pass 3: augmentation ----------------------------------------------
-        for label in labels:
-            n_frames_cnt += sum(pool.map(
-                lambda t, label=label: self._augment(label, t.basename, t.text),
-                per_label_tasks[label]))
-        pool.shutdown()
+            # ---- pass 3: augmentation ------------------------------------------
+            for label in labels:
+                args = [
+                    (label, t.basename, t.text, t.durations,
+                     norm_map[("energy", label, t.basename)],
+                     norm_map[("kurtosis", label, t.basename)],
+                     width_map[(label, t.basename)])
+                    for t in per_label_tasks[label]
+                ]
+                for frames, rows_a, norm_a in pool.map(
+                        _worker_augment, args, chunksize=4):
+                    n_frames_cnt += frames
+                    info_rows.extend(rows_a)
+                    for lbl, sv, e, k in norm_a:
+                        norm_map[("energy", lbl, sv)] = e
+                        norm_map[("kurtosis", lbl, sv)] = k
+        finally:
+            pool.shutdown()
+            io_pool.shutdown()
 
         # ---- pass 4: normalization + metadata ----------------------------------
-        stats = self._normalize_features()
+        stats = self._normalize_features(norm_map)
         with open(self.out / "stats.json", "w") as f:
             json.dump(stats, f)
-        self._write_splits()
-        shutil.rmtree(self.out / "intermediate")
+        self._write_splits(info_rows)
         hours = n_frames_cnt * self.hop / self.sr / 3600
         if verbose:
             print(f"preprocessing finished: {hours:.2f} hours of frames")
@@ -309,14 +529,17 @@ class Preprocessor:
         return duration, energy, kurtosis, mel, image, width
 
     def _save_features(self, label, savename, duration, energy, kurtosis,
-                       mel, image, width, text):
+                       mel, image, width, text, sink):
         np.save(self.out / "duration" / label / f"{savename}.npy", duration)
         np.save(self.out / "energy" / label / f"{savename}.npy", energy)
         np.save(self.out / "kurtosis" / label / f"{savename}.npy", kurtosis)
         np.save(self.out / "mel" / label / f"{savename}.npy", mel.T)
-        image.save(self.out / "image" / "png" / label / f"{savename}.png")
+        image.save(self.out / "image" / "png" / label / f"{savename}.png",
+                   compress_level=1)
         np.save(self.out / "image" / "width" / label / f"{savename}.npy", width)
-        self._write_info(label, savename, text)
+        rows, norm = sink
+        rows.append(self._info_row(label, savename, text))
+        norm.append((label, savename, energy, kurtosis))
 
     @staticmethod
     def _hconcat(images: list[Image.Image]) -> Image.Image:
@@ -329,24 +552,25 @@ class Preprocessor:
         return dst
 
     def _repeat_aug(self, n: int, label: str, basename: str, savename: str,
-                    text: str) -> int:
+                    text: str, feats, sink) -> int:
         """Tile every feature n times; h-concat the image
-        (reference _repeataug, preprocessor.py:503-542)."""
-        duration, energy, kurtosis, mel, image, width = self._load_features(label, basename)
+        (reference _repeataug, preprocessor.py:503-542). `feats` holds the
+        base features in memory (no disk round trip)."""
+        duration, energy, kurtosis, mel, image, width = feats
         self._save_features(
             label, savename,
             np.tile(duration, n), np.tile(energy, n), np.tile(kurtosis, n),
             np.tile(mel, (1, n)), self._hconcat([image] * n), np.tile(width, n),
-            text * n,
+            text * n, sink,
         )
         return mel.shape[1] * n
 
     def _consecutive_aug(self, count: int, pos: int, label: str, basename: str,
-                         savename: str, text: str) -> tuple[int, str]:
+                         savename: str, text: str, feats, sink):
         """Insert count-1 copies of character `pos` (features via np.insert,
         mel/image via segment tiling; reference _consecutiveaug,
-        preprocessor.py:544-595)."""
-        duration, energy, kurtosis, mel, image, width = self._load_features(label, basename)
+        preprocessor.py:544-595). Returns (frames, new_text, new_feats)."""
+        duration, energy, kurtosis, mel, image, width = feats
         k = count - 1
 
         def rep(v):
@@ -363,9 +587,10 @@ class Preprocessor:
         im_rep = self._hconcat([left] + [seg_im] * count + [right])
 
         text_rep = text[:pos] + text[pos] * count + text[pos + 1 :]
-        self._save_features(label, savename, rep(duration), rep(energy),
-                            rep(kurtosis), mel_rep, im_rep, rep(width), text_rep)
-        return mel_rep.shape[1], text_rep
+        new = (rep(duration), rep(energy), rep(kurtosis), mel_rep, im_rep,
+               rep(width))
+        self._save_features(label, savename, *new, text_rep, sink)
+        return mel_rep.shape[1], text_rep, new
 
     @staticmethod
     def _consecutive_pos(text: str) -> int | None:
@@ -385,52 +610,92 @@ class Preprocessor:
             return run_start + (len(text) - 1 - run_start) // 2
         return None
 
-    def _augment(self, label: str, basename: str, text: str) -> int:
+    def _augment(self, label: str, basename: str, text: str,
+                 duration=None, energy=None, kurtosis=None, width=None):
+        """Derive every augmentation variant of one clip.
+
+        Small features (duration/energy/kurtosis/width) come in memory from
+        passes 1-2 when available; only the mel + image are read from disk.
+        Returns (frames, info_rows, norm_values)."""
         aug = self.config.augmentation
         frames = 0
+        rows: list[tuple] = []
+        norm: list[tuple] = []
+        sink = (rows, norm)
+        needs_aug = (
+            (aug.repeat_num >= 2 or aug.first_consecutive >= 1
+             or aug.consecutive_num >= 1)
+            and len(text) <= aug.max_length)
+        if not needs_aug:
+            return 0, rows, norm
+        if duration is None or energy is None or kurtosis is None or width is None:
+            base = self._load_features(label, basename)
+        else:
+            mel = np.load(self.out / "mel" / label / f"{basename}.npy").T
+            image = Image.open(
+                self.out / "image" / "png" / label / f"{basename}.png")
+            base = (duration, energy, kurtosis, mel, image, width)
         n = 2
         while n <= aug.repeat_num and len(text) <= aug.max_length:
-            frames += self._repeat_aug(n, label, basename, f"{basename}-repeat{n}", text)
+            frames += self._repeat_aug(n, label, basename,
+                                       f"{basename}-repeat{n}", text,
+                                       base, sink)
             n += 1
         m = 1
         while m <= aug.first_consecutive and len(text) <= aug.max_length:
-            f, _ = self._consecutive_aug(
-                m + 1, 0, label, basename, f"{basename}-firstconsecutive{m}", text)
+            f, _, _ = self._consecutive_aug(
+                m + 1, 0, label, basename, f"{basename}-firstconsecutive{m}",
+                text, base, sink)
             frames += f
             m += 1
         pos = self._consecutive_pos(text)
         c = 1
         while c <= aug.consecutive_num and len(text) <= aug.max_length and pos is not None:
             savename = f"{basename}-consecutive{c}"
-            f, ret_text = self._consecutive_aug(c + 1, pos, label, basename, savename, text)
+            f, ret_text, ret_feats = self._consecutive_aug(
+                c + 1, pos, label, basename, savename, text, base, sink)
             frames += f
             n = 2
             ret_base = savename
             while n <= aug.repeat_num and len(ret_text) <= aug.max_length:
                 frames += self._repeat_aug(
-                    n, label, ret_base, f"{ret_base}-repeat{n}", ret_text)
+                    n, label, ret_base, f"{ret_base}-repeat{n}", ret_text,
+                    ret_feats, sink)
                 n += 1
             c += 1
-        return frames
+        return frames, rows, norm
 
     # ------------------------------------------------------------------
     # pass 4: normalization + splits (reference preprocessor.py:113-161,624-660)
     # ------------------------------------------------------------------
     @staticmethod
     def _remove_outlier(values: np.ndarray) -> np.ndarray:
-        p25, p75 = np.percentile(values, 25), np.percentile(values, 75)
+        p25, p75 = np.percentile(values, [25, 75])
         lower, upper = p25 - 1.5 * (p75 - p25), p75 + 1.5 * (p75 - p25)
         return values[np.logical_and(values > lower, values < upper)]
 
-    def _normalize_features(self) -> dict:
+    def _normalize_features(self, norm_map: dict | None = None) -> dict:
+        """IQR-filtered running mean/std, then in-place standardization of
+        every energy/kurtosis artifact. `norm_map` supplies the just-saved
+        values in memory ({(name, label, savename): array}); without it every
+        file is re-read from disk (the reference's two full passes,
+        preprocessor.py:113-144)."""
         stats = {}
         for name in ("energy", "kurtosis"):
-            files = sorted((self.out / name).glob("*/*.npy"))
+            if norm_map is not None:
+                keys = sorted(
+                    ((lbl, sv) for (nm, lbl, sv) in norm_map if nm == name),
+                    key=lambda t: (t[0], t[1] + ".npy"))
+                files = [self.out / name / lbl / f"{sv}.npy"
+                         for lbl, sv in keys]
+                values = [norm_map[(name, lbl, sv)] for lbl, sv in keys]
+            else:
+                files = sorted((self.out / name).glob("*/*.npy"))
+                values = [np.load(f) for f in files]
             # running mean/std over outlier-filtered values
             n, mean, m2 = 0, 0.0, 0.0
-            for f in files:
-                v = self._remove_outlier(np.load(f).astype(np.float64))
-                for x in (v,):
+            for raw in values:
+                for x in (self._remove_outlier(raw.astype(np.float64)),):
                     cnt = x.size
                     if cnt == 0:
                         continue
@@ -441,29 +706,33 @@ class Preprocessor:
                     n = tot
             std = float(np.sqrt(m2 / n)) if n else 1.0
             vmin, vmax = np.inf, -np.inf
-            for f in files:
-                v = (np.load(f) - mean) / std
+            for f, raw in zip(files, values):
+                v = (raw - mean) / std
                 np.save(f, v)
                 if v.size:
                     vmin, vmax = min(vmin, float(v.min())), max(vmax, float(v.max()))
             stats[name] = [vmin, vmax, float(mean), std]
         return stats
 
-    def _write_splits(self) -> None:
-        train_files = sorted(
-            (self.out / "intermediate" / "info" / "train").glob("*/*.txt"))
+    def _write_splits(self, info_rows: list[tuple]) -> None:
+        """train/val/test routing from the in-memory rows. Sort key matches
+        the reference's sorted-glob over intermediate/info (label, then
+        filename) so the emitted row order — and hence the seeded val/test
+        shuffle — is unchanged."""
+        train = sorted((r for r in info_rows if r[0] == "train"),
+                       key=lambda r: (r[1], r[2]))
         with open(self.out / "train.txt", "w") as f:
-            for p in train_files:
-                f.write(p.read_text() + "\n")
-        vt_files = sorted(
-            (self.out / "intermediate" / "info" / "val_test").glob("*/*.txt"))
+            for r in train:
+                f.write(r[3] + "\n")
+        vt = sorted((r for r in info_rows if r[0] == "val_test"),
+                    key=lambda r: (r[1], r[2]))
         rnd = random.Random(self.config.train.seed)
-        rnd.shuffle(vt_files)
-        half = len(vt_files) // 2
-        for fname, chunk in (("val.txt", vt_files[:half]), ("test.txt", vt_files[half:])):
+        rnd.shuffle(vt)
+        half = len(vt) // 2
+        for fname, chunk in (("val.txt", vt[:half]), ("test.txt", vt[half:])):
             with open(self.out / fname, "w") as f:
-                for p in chunk:
-                    f.write(p.read_text() + "\n")
+                for r in chunk:
+                    f.write(r[3] + "\n")
         # persist the vocabulary: serving from a checkpoint then needs only
         # the metadata jsons, not the split txt files
         from visual_onoma_to_wave_tpu.data.symbols import (

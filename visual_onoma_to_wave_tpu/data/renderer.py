@@ -95,7 +95,9 @@ class VisualTextRenderer:
             canvas.paste(cell, (x, 0))
             x += int(w)
         if save_image is not None:
-            canvas.save(save_image)
+            # compress_level=1: ~identical size for glyph strips, much
+            # cheaper encode (the hot pass-2 cost on a 1-core host)
+            canvas.save(save_image, compress_level=1)
         if save_width is not None:
             np.save(save_width, char_widths)
         return canvas, char_widths
