@@ -107,6 +107,18 @@ def cmd_synthesize(args):
         print(f"wrote {args.out}")
 
 
+def cmd_demo(args):
+    from visual_onoma_to_wave_tpu.demo_server import DemoServer
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+
+    cfg = load_config(args.config)
+    synth = Synthesizer.from_checkpoint(
+        cfg, acoustic=args.acoustic, vocoder=args.vocoder,
+        restore_step=args.restore_step)
+    server = DemoServer(synth, host=args.host, port=args.port)
+    server.serve_forever()
+
+
 def cmd_convert_vocoder(args):
     from visual_onoma_to_wave_tpu.utils.checkpoint import save_params
     if args.kind.lower() in ("melgan", "mel-gan"):
@@ -188,6 +200,18 @@ def main(argv=None):
                         "(see convert-acoustic)")
     s.add_argument("--out", default="out.wav")
     s.set_defaults(fn=cmd_synthesize)
+
+    s = sub.add_parser(
+        "demo", help="interactive browser demo (prediction.ipynb GUI)")
+    s.add_argument("config")
+    s.add_argument("--vocoder", default=None,
+                   help="converted vocoder params dir (audio playback)")
+    s.add_argument("--acoustic", default=None,
+                   help="converted torch acoustic params dir")
+    s.add_argument("--restore-step", type=int, default=None)
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=7860)
+    s.set_defaults(fn=cmd_demo)
 
     s = sub.add_parser("convert-acoustic",
                        help="torch vTTS ckpt (200000.pth.tar) -> orbax params")

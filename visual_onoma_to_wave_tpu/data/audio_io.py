@@ -59,6 +59,22 @@ def write_wav(path: str | pathlib.Path, audio: np.ndarray, sample_rate: int) -> 
         w.writeframes(pcm.tobytes())
 
 
+def wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
+    """float32 [-1, 1] mono audio -> in-memory 16-bit PCM wav file bytes
+    (for the demo server's audio playback; no temp files)."""
+    import io
+
+    audio = np.clip(np.asarray(audio, dtype=np.float64), -1.0, 1.0)
+    pcm = np.round(audio * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     """Polyphase resampling (e.g. 48000 -> 22050 uses up=147, down=320)."""
     if orig_sr == target_sr:
