@@ -85,6 +85,18 @@ def make_train_step(model, tx: optax.GradientTransformation,
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         dropout_rng = jax.random.fold_in(rng, state.step)
+        # Dropout touches ~190M elements/step (0.5 on the 512-ch PostNet +
+        # 0.2 across 10 FFT blocks); threefry bit generation alone costs
+        # ~5 ms of a 62 ms B=64 step (docs/PERF.md). The rbg PRNG lowers to
+        # the TPU's hardware RngBitGenerator: same key -> same masks within
+        # a backend, ~4 ms faster. Derived deterministically from the
+        # caller's threefry key.
+        if jnp.issubdtype(dropout_rng.dtype, jax.dtypes.prng_key):
+            kd = jax.random.key_data(dropout_rng)
+        else:  # raw (2,) uint32 key array
+            kd = dropout_rng
+        dropout_rng = jax.random.wrap_key_data(
+            jnp.concatenate([kd, kd]), impl="rbg")
         grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, dropout_rng)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
