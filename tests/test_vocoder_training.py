@@ -1,0 +1,159 @@
+"""HiFi-GAN vocoder GAN training (beyond-reference extension).
+
+Covers: discriminator shapes/feature maps, loss properties, one donated
+GAN step updating every parameter group, a short overfit run driving mel
+L1 down, and that a trained generator plugs into vocoder_infer.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visual_onoma_to_wave_tpu.models.hifigan import HiFiGANGenerator, vocoder_infer
+from visual_onoma_to_wave_tpu.models.hifigan_disc import (
+    MultiPeriodDiscriminator, MultiScaleDiscriminator, _avg_pool1d,
+    discriminator_loss, feature_matching_loss, generator_adversarial_loss)
+from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
+    SegmentSampler, VocoderTrainConfig, VocoderTrainer)
+
+TINY_MPD = dict(periods=(2, 3), channels=(4, 8))
+TINY_MSD = dict(n_scales=2, channels=4)
+
+
+def _tiny_gen():
+    return HiFiGANGenerator(
+        upsample_rates=(8, 8, 2, 2), upsample_kernel_sizes=(16, 16, 4, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 2),))
+
+
+def _tiny_cfg(**kw):
+    kw.setdefault("segment_size", 2048)
+    kw.setdefault("batch_size", 2)
+    kw.setdefault("log_every", 1000)
+    kw.setdefault("save_every", 10**9)
+    return VocoderTrainConfig(**kw)
+
+
+def test_mpd_shapes_and_period_view():
+    mpd = MultiPeriodDiscriminator(**TINY_MPD)
+    y = jnp.asarray(np.random.default_rng(0).normal(0, 0.1, (2, 2048)),
+                    jnp.float32)
+    vars_ = mpd.init(jax.random.PRNGKey(0), y, y)
+    rs, gs, fr, fg = mpd.apply(vars_, y, y + 0.1)
+    assert len(rs) == len(gs) == len(fr) == len(fg) == 2
+    for lr, mr in zip(rs, fr):
+        assert lr.ndim == 2 and lr.shape[0] == 2
+        # channels stack + pre-post conv + logits layer
+        assert len(mr) == len(TINY_MPD["channels"]) + 2
+    # identical inputs -> identical scores
+    rs2, gs2, _, _ = mpd.apply(vars_, y, y)
+    for a, b in zip(rs2, gs2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_msd_shapes_and_pooling():
+    msd = MultiScaleDiscriminator(**TINY_MSD)
+    y = jnp.asarray(np.random.default_rng(1).normal(0, 0.1, (2, 2048)),
+                    jnp.float32)
+    vars_ = msd.init(jax.random.PRNGKey(0), y, y)
+    rs, gs, fr, fg = msd.apply(vars_, y, y)
+    assert len(rs) == TINY_MSD["n_scales"]
+    assert all(len(m) == 8 for m in fr)  # 7 conv layers + logits
+    # torch AvgPool1d(4,2,2) length semantics: (T + 2*2 - 4)//2 + 1
+    assert _avg_pool1d(y).shape == (2, (2048 + 4 - 4) // 2 + 1)
+
+
+def test_loss_properties():
+    # perfect discrimination (Dr=1, Dg=0) => zero loss; worst case grows
+    one, zero = [jnp.ones((2, 5))], [jnp.zeros((2, 5))]
+    assert float(discriminator_loss(one, zero)) == 0.0
+    assert float(generator_adversarial_loss(one)) == 0.0
+    assert float(discriminator_loss(zero, one)) == pytest.approx(2.0)
+    fm = feature_matching_loss([[jnp.ones((2, 3))]], [[jnp.zeros((2, 3))]])
+    assert float(fm) == pytest.approx(2.0)
+
+
+def test_sampler_shapes_and_padding():
+    cfg = _tiny_cfg()
+    clips = [np.ones(5000, np.float32), np.full(100, 0.5, np.float32)]
+    s = SegmentSampler(clips, cfg)
+    batch = s.next_batch()
+    assert batch.shape == (2, 2048)
+    # short clip gets zero-padded, long clip fills the segment
+    for row in batch:
+        assert set(np.unique(row)) <= {0.0, 0.5, 1.0}
+
+
+def test_gan_step_updates_everything_and_overfits():
+    rng = np.random.default_rng(2)
+    t = np.arange(6000) / 22050.0
+    clip = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    cfg = _tiny_cfg(learning_rate=5e-4)
+    trainer = VocoderTrainer(
+        [clip], cfg, gen=_tiny_gen(), use_mesh=False,
+        mpd=MultiPeriodDiscriminator(**TINY_MPD),
+        msd=MultiScaleDiscriminator(**TINY_MSD))
+
+    p0 = jax.device_get(trainer.state.gen_params)
+    d0 = jax.device_get(trainer.state.mpd_params)
+    audio = jnp.asarray(trainer.sampler.next_batch())
+    state1, m1 = trainer.train_step(trainer.state, audio)
+    assert int(state1.step) == 1
+    for k in ("d_total", "d_mpd", "d_msd", "g_adv", "g_fm", "mel_l1",
+              "g_total"):
+        assert np.isfinite(float(m1[k])), k
+    # every group actually moved
+    p1 = jax.device_get(state1.gen_params)
+    d1 = jax.device_get(state1.mpd_params)
+    assert any(np.abs(a - b).max() > 0 for a, b in
+               zip(jax.tree.leaves(p0), jax.tree.leaves(p1)))
+    assert any(np.abs(a - b).max() > 0 for a, b in
+               zip(jax.tree.leaves(d0), jax.tree.leaves(d1)))
+
+    trainer.state = state1
+    first = float(m1["mel_l1"])
+    state = trainer.train(steps=30)
+    # the short run must reduce the reconstruction loss (train_step donates
+    # its input state, so keep working from the returned one)
+    audio = jnp.asarray(trainer.sampler.next_batch())
+    state, m = trainer.train_step(state, audio)
+    assert float(m["mel_l1"]) < first
+
+    # the trained generator pytree drives the standard inference path
+    mel = jnp.zeros((1, 8, 80), jnp.float32)
+    wavs, lens = vocoder_infer(jax.device_get(state.gen_params), mel,
+                               gen=_tiny_gen())
+    assert wavs.shape == (1, 8 * 256) and int(lens[0]) == 8 * 256
+
+
+def test_checkpoint_roundtrip_feeds_inference(tmp_path):
+    from visual_onoma_to_wave_tpu.utils.checkpoint import load_params
+
+    clip = np.zeros(4000, np.float32)
+    trainer = VocoderTrainer(
+        [clip], _tiny_cfg(), gen=_tiny_gen(), ckpt_dir=tmp_path,
+        use_mesh=False, mpd=MultiPeriodDiscriminator(**TINY_MPD),
+        msd=MultiScaleDiscriminator(**TINY_MSD))
+    trainer.save(7)
+    params = load_params(tmp_path / "7" / "generator")
+    a = jax.tree.leaves(jax.device_get(trainer.state.gen_params))
+    b = jax.tree.leaves(params)
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
+    wavs, _ = vocoder_infer(params, jnp.zeros((1, 4, 80)), gen=_tiny_gen())
+    assert wavs.shape == (1, 4 * 256)
+    disc = load_params(tmp_path / "7" / "discriminators")
+    assert set(disc) == {"mpd", "msd"}
+
+
+def test_rejects_hop_mismatch():
+    gen = HiFiGANGenerator(upsample_rates=(8, 8, 2),
+                           upsample_kernel_sizes=(16, 16, 4),
+                           upsample_initial_channel=16,
+                           resblock_kernel_sizes=(3,),
+                           resblock_dilations=((1,),))
+    with pytest.raises(ValueError):
+        VocoderTrainer([np.zeros(4000, np.float32)], _tiny_cfg(), gen=gen,
+                       use_mesh=False,
+                       mpd=MultiPeriodDiscriminator(**TINY_MPD),
+                       msd=MultiScaleDiscriminator(**TINY_MSD))

@@ -131,6 +131,24 @@ def cmd_convert_vocoder(args):
     print(f"converted {args.kind} generator -> {args.out_dir}")
 
 
+def cmd_train_vocoder(args):
+    from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
+        VocoderTrainConfig, VocoderTrainer, load_wav_dir)
+
+    cfg = VocoderTrainConfig(
+        segment_size=args.segment_size, batch_size=args.batch_size,
+        learning_rate=args.lr, total_steps=args.steps,
+        save_every=args.save_every, seed=args.seed)
+    clips = load_wav_dir(args.wav_dir, target_sr=cfg.sampling_rate)
+    print(f"training HiFi-GAN on {len(clips)} clips "
+          f"({sum(len(c) for c in clips) / cfg.sampling_rate:.0f}s of audio)")
+    trainer = VocoderTrainer(clips, cfg, ckpt_dir=args.out_dir,
+                             log_dir=args.log_dir)
+    trainer.train()
+    print(f"vocoder checkpoints under {args.out_dir} "
+          f"(each step dir's generator/ loads via Synthesizer/--vocoder)")
+
+
 def cmd_convert_acoustic(args):
     from visual_onoma_to_wave_tpu.models.convert_acoustic import (
         load_torch_acoustic,
@@ -212,6 +230,21 @@ def main(argv=None):
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=7860)
     s.set_defaults(fn=cmd_demo)
+
+    s = sub.add_parser(
+        "train-vocoder",
+        help="train a HiFi-GAN vocoder from corpus audio (GAN; "
+             "beyond-reference: replaces the downloaded universal ckpt)")
+    s.add_argument("wav_dir", help="directory of .wav training clips")
+    s.add_argument("out_dir", help="checkpoint output directory")
+    s.add_argument("--steps", type=int, default=200_000)
+    s.add_argument("--batch-size", type=int, default=16)
+    s.add_argument("--segment-size", type=int, default=8192)
+    s.add_argument("--lr", type=float, default=2e-4)
+    s.add_argument("--save-every", type=int, default=10_000)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--log-dir", default=None)
+    s.set_defaults(fn=cmd_train_vocoder)
 
     s = sub.add_parser("convert-acoustic",
                        help="torch vTTS ckpt (200000.pth.tar) -> orbax params")

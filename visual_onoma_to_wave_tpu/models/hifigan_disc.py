@@ -1,0 +1,214 @@
+"""HiFi-GAN discriminators (MPD + MSD) and GAN losses, in JAX/flax.
+
+BEYOND-REFERENCE extension: the reference repo ships only the HiFi-GAN
+*generator* for inference and depends on downloading the published
+"universal" checkpoint (reference setup.sh:1-5, scripts/hifigan/models.py
+has no discriminators). This module provides what that leaves out — the
+ability to TRAIN the vocoder on TPU — following the HiFi-GAN recipe
+(Kong et al., 2020, arXiv:2010.05646):
+
+  * Multi-Period Discriminator: 5 sub-discriminators on period-reshaped
+    views of the waveform (periods 2/3/5/7/11), Conv2d (5,1) stride (3,1)
+    stacks, channels 32->1024.
+  * Multi-Scale Discriminator: 3 sub-discriminators on raw / 2x / 4x
+    average-pooled audio, grouped Conv1d stacks.
+  * LSGAN adversarial losses, feature-matching L1 (x2), mel-spectrogram
+    L1 (x45).
+
+All convolutions use trainable weight normalization (w = g * v / ||v||).
+The official implementation uses spectral norm on the first MSD scale
+only; we use weight norm there too — spectral norm needs power-iteration
+state, and LSGAN + weight norm trains stably for this generator (pinned
+by tests/test_vocoder_training.py overfit test).
+
+The trained generator parameter pytree is exactly
+`models/hifigan.py HiFiGANGenerator`'s, so a trained vocoder plugs into
+`vocoder_infer` / `Synthesizer` / the converters' ecosystem unchanged.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LRELU_SLOPE = 0.1
+
+# torch Conv default init: U(-sqrt(k), sqrt(k)), k = 1 / fan_in
+_conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+class WNConv(nn.Module):
+    """Conv with trainable weight normalization, NHWC/NHC feature-last.
+
+    w_eff = g * v / ||v||_per-filter. g is initialized to sqrt(1/3) —
+    the expected norm of the kaiming-uniform draw of v — so the effective
+    initial weights match a plain torch Conv's scale in expectation.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = None
+    padding: Sequence[tuple[int, int]] | str = "SAME"
+    feature_group_count: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = tuple(self.kernel_size)
+        cin = x.shape[-1] // self.feature_group_count
+        v = self.param("v", _conv_init, (*k, cin, self.features))
+        g = self.param("g", nn.initializers.constant(float(np.sqrt(1 / 3))),
+                       (self.features,))
+        norm = jnp.sqrt(jnp.sum(v * v, axis=tuple(range(v.ndim - 1)),
+                                keepdims=True) + 1e-12)
+        w = (g / norm) * v
+        b = self.param("b", nn.initializers.zeros, (self.features,))
+        dn = ("NHC", "HIO", "NHC") if len(k) == 1 else ("NHWC", "HWIO", "NHWC")
+        out = jax.lax.conv_general_dilated(
+            x, w, window_strides=tuple(self.strides or (1,) * len(k)),
+            padding=self.padding, dimension_numbers=dn,
+            feature_group_count=self.feature_group_count,
+            preferred_element_type=jnp.float32)
+        return out + b
+
+
+class PeriodDiscriminator(nn.Module):
+    """One MPD sub-discriminator over a (T/p, p) view of the waveform."""
+
+    period: int
+    channels: tuple[int, ...] = (32, 128, 512, 1024)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        """x: (B, T) -> (logits (B, N), feature maps)."""
+        b, t = x.shape
+        p = self.period
+        pad = (-t) % p
+        if pad:  # reflect-pad to a period multiple (official F.pad mode)
+            x = jnp.pad(x, ((0, 0), (0, pad)), mode="reflect")
+        h = x.reshape(b, -1, p, 1)                       # (B, T/p, p, 1)
+        fmaps = []
+        for ch in self.channels:
+            h = WNConv(ch, (5, 1), strides=(3, 1),
+                       padding=((2, 2), (0, 0)))(h)
+            h = nn.leaky_relu(h, LRELU_SLOPE)
+            fmaps.append(h)
+        h = WNConv(self.channels[-1], (5, 1), strides=(1, 1),
+                   padding=((2, 2), (0, 0)))(h)
+        h = nn.leaky_relu(h, LRELU_SLOPE)
+        fmaps.append(h)
+        h = WNConv(1, (3, 1), strides=(1, 1), padding=((1, 1), (0, 0)))(h)
+        fmaps.append(h)
+        return h.reshape(b, -1), fmaps
+
+
+class ScaleDiscriminator(nn.Module):
+    """One MSD sub-discriminator: grouped Conv1d stack on raw audio."""
+
+    channels: int = 128  # official: 128 -> ... -> 1024
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        """x: (B, T) -> (logits (B, N), feature maps)."""
+        b = x.shape[0]
+        c = self.channels
+        h = x[:, :, None]                                # (B, T, 1)
+        layers = [
+            dict(ch=c, k=15, s=1, g=1, pad=7),
+            dict(ch=c, k=41, s=2, g=4, pad=20),
+            dict(ch=2 * c, k=41, s=2, g=16, pad=20),
+            dict(ch=4 * c, k=41, s=4, g=16, pad=20),
+            dict(ch=8 * c, k=41, s=4, g=16, pad=20),
+            dict(ch=8 * c, k=41, s=1, g=16, pad=20),
+            dict(ch=8 * c, k=5, s=1, g=1, pad=2),
+        ]
+        fmaps = []
+        for sp in layers:
+            # official group counts at c=128; gcd keeps scaled-down test
+            # configs valid while preserving them at full size
+            g = int(np.gcd(np.gcd(sp["g"], h.shape[-1]), sp["ch"]))
+            h = WNConv(sp["ch"], (sp["k"],), strides=(sp["s"],),
+                       padding=((sp["pad"], sp["pad"]),),
+                       feature_group_count=g)(h)
+            h = nn.leaky_relu(h, LRELU_SLOPE)
+            fmaps.append(h)
+        h = WNConv(1, (3,), strides=(1,), padding=((1, 1),))(h)
+        fmaps.append(h)
+        return h.reshape(b, -1), fmaps
+
+
+def _avg_pool1d(x: jnp.ndarray, kernel: int = 4, stride: int = 2,
+                pad: int = 2) -> jnp.ndarray:
+    """torch AvgPool1d(4, 2, padding=2) semantics (count includes pads)."""
+    xp = jnp.pad(x, ((0, 0), (pad, pad)))
+    n = (xp.shape[1] - kernel) // stride + 1
+    idx = jnp.arange(n)[:, None] * stride + jnp.arange(kernel)[None, :]
+    return jnp.mean(xp[:, idx], axis=-1)
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    periods: tuple[int, ...] = (2, 3, 5, 7, 11)
+    channels: tuple[int, ...] = (32, 128, 512, 1024)
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
+        """Scores real and generated audio with shared sub-discriminators.
+
+        Returns (real_logits, gen_logits, real_fmaps, gen_fmaps) lists.
+        """
+        rs, gs, fr, fg = [], [], [], []
+        for p in self.periods:
+            d = PeriodDiscriminator(p, self.channels, name=f"p{p}")
+            lr, mr = d(y)
+            lg, mg = d(y_hat)
+            rs.append(lr), gs.append(lg), fr.append(mr), fg.append(mg)
+        return rs, gs, fr, fg
+
+
+class MultiScaleDiscriminator(nn.Module):
+    n_scales: int = 3
+    channels: int = 128
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
+        rs, gs, fr, fg = [], [], [], []
+        for s in range(self.n_scales):
+            d = ScaleDiscriminator(self.channels, name=f"s{s}")
+            lr, mr = d(y)
+            lg, mg = d(y_hat)
+            rs.append(lr), gs.append(lg), fr.append(mr), fg.append(mg)
+            if s + 1 < self.n_scales:
+                y = _avg_pool1d(y)
+                y_hat = _avg_pool1d(y_hat)
+        return rs, gs, fr, fg
+
+
+# ---------------------------------------------------------------------------
+# GAN losses (HiFi-GAN paper eqs. 1-3; LSGAN form)
+# ---------------------------------------------------------------------------
+
+def discriminator_loss(real_logits, gen_logits) -> jnp.ndarray:
+    """sum_k E[(1 - D_k(y))^2] + E[D_k(y_hat)^2]."""
+    loss = 0.0
+    for dr, dg in zip(real_logits, gen_logits):
+        loss = loss + jnp.mean((1.0 - dr) ** 2) + jnp.mean(dg ** 2)
+    return loss
+
+
+def generator_adversarial_loss(gen_logits) -> jnp.ndarray:
+    """sum_k E[(1 - D_k(y_hat))^2]."""
+    loss = 0.0
+    for dg in gen_logits:
+        loss = loss + jnp.mean((1.0 - dg) ** 2)
+    return loss
+
+
+def feature_matching_loss(real_fmaps, gen_fmaps) -> jnp.ndarray:
+    """2 * sum over sub-discriminators and layers of L1(fm_r, fm_g)."""
+    loss = 0.0
+    for mr, mg in zip(real_fmaps, gen_fmaps):
+        for r, g in zip(mr, mg):
+            loss = loss + jnp.mean(jnp.abs(r - g))
+    return 2.0 * loss
