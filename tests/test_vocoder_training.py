@@ -146,6 +146,43 @@ def test_checkpoint_roundtrip_feeds_inference(tmp_path):
     assert set(disc) == {"mpd", "msd"}
 
 
+def test_gan_step_data_parallel_equals_single_device():
+    """Same batch, same init: GAN losses after 2 steps match between a
+    1-device run and an 8-device sharded run (the step has no in-jit RNG,
+    so DP must be exactly loss-equivalent; same pattern as the acoustic
+    trainer's test_data_parallel_equals_single_device)."""
+    from visual_onoma_to_wave_tpu.parallel.mesh import get_mesh, batch_sharding
+
+    rng = np.random.default_rng(5)
+    clip = rng.normal(0, 0.2, 9000).astype(np.float32)
+    cfg = _tiny_cfg(batch_size=8)
+
+    def fresh():
+        return VocoderTrainer(
+            [clip], cfg, gen=_tiny_gen(), use_mesh=False,
+            mpd=MultiPeriodDiscriminator(**TINY_MPD),
+            msd=MultiScaleDiscriminator(**TINY_MSD))
+
+    t1 = fresh()
+    batch = t1.sampler.next_batch()
+    s1, m1 = t1.train_step(t1.state, jnp.asarray(batch))
+    s1, m1 = t1.train_step(s1, jnp.asarray(batch))
+
+    mesh = get_mesh(8)
+    assert mesh.size == 8
+    t8 = fresh()
+    sharded = jax.device_put(jnp.asarray(batch), batch_sharding(mesh))
+    s8, m8 = t8.train_step(t8.state, sharded)
+    s8, m8 = t8.train_step(s8, sharded)
+
+    for k in ("g_total", "d_total", "mel_l1"):
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=1e-4)
+    a = jax.tree.leaves(jax.device_get(s1.gen_params))[0]
+    b = jax.tree.leaves(jax.device_get(s8.gen_params))[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-6)
+
+
 def test_rejects_hop_mismatch():
     gen = HiFiGANGenerator(upsample_rates=(8, 8, 2),
                            upsample_kernel_sizes=(16, 16, 4),

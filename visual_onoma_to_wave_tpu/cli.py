@@ -131,6 +131,20 @@ def cmd_convert_vocoder(args):
     print(f"converted {args.kind} generator -> {args.out_dir}")
 
 
+def cmd_serve(args):
+    from visual_onoma_to_wave_tpu.serve import BatchingServer
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+
+    cfg = load_config(args.config)
+    synth = Synthesizer.from_checkpoint(
+        cfg, acoustic=args.acoustic, vocoder=args.vocoder,
+        restore_step=args.restore_step)
+    server = BatchingServer(synth, host=args.host, port=args.port,
+                            max_batch=args.max_batch,
+                            batch_window_ms=args.window_ms)
+    server.serve_forever()
+
+
 def cmd_train_vocoder(args):
     from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
         VocoderTrainConfig, VocoderTrainer, load_wav_dir)
@@ -230,6 +244,21 @@ def main(argv=None):
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=7860)
     s.set_defaults(fn=cmd_demo)
+
+    s = sub.add_parser(
+        "serve", help="production JSON API with TPU micro-batching "
+                      "(concurrent requests share one device batch)")
+    s.add_argument("config")
+    s.add_argument("--vocoder", default=None,
+                   help="converted/trained vocoder params dir")
+    s.add_argument("--acoustic", default=None,
+                   help="converted torch acoustic params dir")
+    s.add_argument("--restore-step", type=int, default=None)
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=7870)
+    s.add_argument("--max-batch", type=int, default=32)
+    s.add_argument("--window-ms", type=float, default=5.0)
+    s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser(
         "train-vocoder",

@@ -1,0 +1,277 @@
+"""Production batch-serving HTTP API over the Synthesizer.
+
+BEYOND-REFERENCE extension: the reference's only serving surface is the
+interactive notebook (reference prediction.ipynb); `demo_server.py`
+reproduces that. This module adds the production path: a JSON API whose
+concurrent single requests are micro-batched onto the TPU through
+`Synthesizer.synthesize_batch` — one acoustic forward + one vocoder call
+per batch, with pow-2 batch / text-length bucketing so a small fixed set
+of executables serves all traffic (the shapes bench.py's 2400x-realtime
+headline is measured on).
+
+Design:
+  * handler threads enqueue requests and wait on per-request events;
+  * ONE worker thread drains the queue, groups compatible requests
+    (same e/d controls) into batches up to max_batch within a
+    batch_window_ms collection window, and runs the device call —
+    keeping all JAX dispatch single-threaded;
+  * requests with distinct controls still work (they form their own
+    groups); oversized texts are rejected with 400.
+
+Endpoints:
+    GET  /healthz          -> {"ok": true}
+    GET  /v1/meta          -> audiotypes, sampling rate, limits
+    GET  /v1/stats         -> request/batch counters, mean batch size,
+                              latency quantiles (ms)
+    POST /v1/synthesize    -> {"text", "audiotype", "width_rates"?,
+                               "e_control"?, "d_control"?}
+         returns {"wav_b64"?, "sample_rate", "mel_frames", "durations",
+                  "seconds"}
+    POST /v1/batch         -> {"items": [<same as /v1/synthesize>, ...]}
+         returns {"items": [...]} in order (one device batch directly).
+"""
+from __future__ import annotations
+
+import base64
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+MAX_TEXT_LEN = 64
+
+
+class _Pending:
+    __slots__ = ("req", "event", "result", "error", "t0")
+
+    def __init__(self, req: dict):
+        self.req = req
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+        self.t0 = time.perf_counter()
+
+
+class BatchingServer:
+    """Micro-batching HTTP front-end for a `Synthesizer`."""
+
+    def __init__(self, synthesizer, host: str = "127.0.0.1", port: int = 0,
+                 max_batch: int = 32, batch_window_ms: float = 5.0):
+        self.synth = synthesizer
+        self.max_batch = int(max_batch)
+        self.window_s = float(batch_window_ms) / 1e3
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._stats_lock = threading.Lock()
+        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
+                      "errors": 0}
+        self._latencies: list[float] = []
+
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, obj) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, {"ok": True})
+                elif self.path == "/v1/meta":
+                    self._send(200, server.meta())
+                elif self.path == "/v1/stats":
+                    self._send(200, server.snapshot_stats())
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                except Exception as e:  # malformed body
+                    return self._send(400, {"error": str(e)})
+                if self.path == "/v1/synthesize":
+                    code, out = server.submit(req)
+                    self._send(code, out)
+                elif self.path == "/v1/batch":
+                    code, out = server.run_batch(req.get("items", []))
+                    self._send(code, out)
+                else:
+                    self._send(404, {"error": "not found"})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_port
+        self.host = host
+        self._worker = threading.Thread(target=self._work, daemon=True)
+        self._server_thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------- control
+    def start(self) -> None:
+        self._worker.start()
+        self._server_thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True)
+        self._server_thread.start()
+
+    def serve_forever(self) -> None:
+        self._worker.start()
+        print(f"serving on http://{self.host}:{self.port} "
+              f"(max_batch={self.max_batch}, "
+              f"window={self.window_s * 1e3:.0f}ms)")
+        try:
+            self.httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.stop()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+    # ------------------------------------------------------------ requests
+    def meta(self) -> dict:
+        return {
+            "audiotypes": list(self.synth.metadata.audiotype_map),
+            "has_vocoder": self.synth.vocoder_params is not None,
+            "sampling_rate": self.synth.config.audio.sampling_rate,
+            "max_batch": self.max_batch,
+            "max_text_len": MAX_TEXT_LEN,
+        }
+
+    def snapshot_stats(self) -> dict:
+        with self._stats_lock:
+            lat = sorted(self._latencies[-1000:])
+            s = dict(self.stats)
+        if lat:
+            s["latency_ms_p50"] = round(1e3 * lat[len(lat) // 2], 2)
+            s["latency_ms_p95"] = round(1e3 * lat[int(len(lat) * 0.95)], 2)
+        s["mean_batch_size"] = round(
+            s["batched_requests"] / s["batches"], 2) if s["batches"] else 0.0
+        return s
+
+    @staticmethod
+    def _validate(req: dict, audiotypes) -> str | None:
+        text = req.get("text", "")
+        if not text or len(text) > MAX_TEXT_LEN:
+            return f"text must be 1..{MAX_TEXT_LEN} characters"
+        at = req.get("audiotype")
+        if isinstance(at, str) and at not in audiotypes:
+            return f"unknown audiotype {at!r}"
+        wr = req.get("width_rates")
+        if wr is not None and len(wr) != len(text):
+            return "width_rates length must match text"
+        return None
+
+    def submit(self, req: dict) -> tuple[int, dict]:
+        """Queue one request for micro-batching; blocks until served."""
+        err = self._validate(req, self.synth.metadata.audiotype_map)
+        if err:
+            return 400, {"error": err}
+        p = _Pending(req)
+        self._q.put(p)
+        p.event.wait()
+        with self._stats_lock:
+            self.stats["requests"] += 1
+            self._latencies.append(time.perf_counter() - p.t0)
+            if p.error:
+                self.stats["errors"] += 1
+        if p.error:
+            return 500, {"error": p.error}
+        return 200, p.result
+
+    def run_batch(self, items: list[dict]) -> tuple[int, dict]:
+        """Explicit batch: one device call for the whole list."""
+        if not items:
+            return 400, {"error": "items must be a non-empty list"}
+        for it in items:
+            err = self._validate(it, self.synth.metadata.audiotype_map)
+            if err:
+                return 400, {"error": err}
+        pend = [_Pending(it) for it in items]
+        for p in pend:
+            self._q.put(p)
+        for p in pend:
+            p.event.wait()
+        with self._stats_lock:
+            self.stats["requests"] += len(pend)
+            self._latencies.extend(
+                time.perf_counter() - p.t0 for p in pend)
+        if any(p.error for p in pend):
+            return 500, {"error": next(p.error for p in pend if p.error)}
+        return 200, {"items": [p.result for p in pend]}
+
+    # -------------------------------------------------------------- worker
+    @staticmethod
+    def _group_key(req: dict):
+        return (float(req.get("e_control", 1.0)),
+                float(req.get("d_control", 1.0)))
+
+    def _work(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            group = [first]
+            key = self._group_key(first.req)
+            deadline = time.perf_counter() + self.window_s
+            stash = []
+            while len(group) < self.max_batch:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    p = self._q.get(timeout=left)
+                except queue.Empty:
+                    break
+                if self._group_key(p.req) == key:
+                    group.append(p)
+                else:
+                    stash.append(p)   # different controls: next batch
+            for p in stash:
+                self._q.put(p)
+            self._serve_group(group, key)
+
+    def _serve_group(self, group: list[_Pending], key) -> None:
+        from visual_onoma_to_wave_tpu.data.audio_io import wav_bytes
+
+        e_control, d_control = key
+        sr = self.synth.config.audio.sampling_rate
+        hop = self.synth.config.audio.stft.hop_length
+        try:
+            results = self.synth.synthesize_batch(
+                [p.req["text"] for p in group],
+                [p.req.get("audiotype", 0) for p in group],
+                width_rates=[p.req.get("width_rates") for p in group],
+                e_control=e_control, d_control=d_control)
+            for p, r in zip(group, results):
+                out = {
+                    "sample_rate": sr,
+                    "mel_frames": int(r.mel.shape[0]),
+                    "durations": [int(d) for d in r.durations],
+                    "seconds": float(r.mel.shape[0] * hop / sr),
+                    "wav_b64": (base64.b64encode(
+                        wav_bytes(np.asarray(r.wav), sr)).decode()
+                        if r.wav is not None else None),
+                }
+                p.result = out
+        except Exception as e:  # surface device errors to every waiter
+            for p in group:
+                p.error = f"{type(e).__name__}: {e}"
+        finally:
+            with self._stats_lock:
+                self.stats["batches"] += 1
+                self.stats["batched_requests"] += len(group)
+            for p in group:
+                p.event.set()
