@@ -142,8 +142,9 @@ def test_checkpoint_roundtrip_feeds_inference(tmp_path):
     assert all(np.array_equal(x, y) for x, y in zip(a, b))
     wavs, _ = vocoder_infer(params, jnp.zeros((1, 4, 80)), gen=_tiny_gen())
     assert wavs.shape == (1, 4 * 256)
-    disc = load_params(tmp_path / "7" / "discriminators")
-    assert set(disc) == {"mpd", "msd"}
+    full = load_params(tmp_path / "7" / "full_state")
+    assert {"gen_params", "mpd_params", "msd_params", "gen_opt",
+            "disc_opt", "step"} <= set(full)
 
 
 def test_gan_step_data_parallel_equals_single_device():
@@ -181,6 +182,91 @@ def test_gan_step_data_parallel_equals_single_device():
     b = jax.tree.leaves(jax.device_get(s8.gen_params))[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_resume_restores_full_state(tmp_path):
+    rng = np.random.default_rng(3)
+    clip = rng.normal(0, 0.2, 8000).astype(np.float32)
+
+    def fresh():
+        return VocoderTrainer(
+            [clip], _tiny_cfg(), gen=_tiny_gen(), ckpt_dir=tmp_path,
+            use_mesh=False, mpd=MultiPeriodDiscriminator(**TINY_MPD),
+            msd=MultiScaleDiscriminator(**TINY_MSD))
+
+    t1 = fresh()
+    t1.train(steps=3)
+    t1.save(3)
+    ref = jax.device_get(t1.state)
+
+    t2 = fresh()
+    assert t2.restore() == 3           # latest
+    got = jax.device_get(t2.state)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(a, b)
+    # total-step semantics: continues from 3, not from 0
+    t2.train(steps=4)
+    assert int(jax.device_get(t2.state.step)) == 4
+
+    with pytest.raises(FileNotFoundError):
+        VocoderTrainer([clip], _tiny_cfg(), gen=_tiny_gen(),
+                       ckpt_dir=tmp_path / "empty", use_mesh=False,
+                       mpd=MultiPeriodDiscriminator(**TINY_MPD),
+                       msd=MultiScaleDiscriminator(**TINY_MSD)).restore()
+
+
+def test_finetune_on_paired_mels():
+    """Fine-tuning mode: the generator input is an external (predicted)
+    mel while the mel-L1 target comes from the real audio."""
+    from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
+        PairedSegmentSampler)
+
+    rng = np.random.default_rng(4)
+    cfg = _tiny_cfg()
+    hop, t_seg = cfg.hop_length, cfg.segment_size // cfg.hop_length
+    # 40-frame clip + deliberately-offset "predicted" mel
+    audio = rng.normal(0, 0.3, 40 * hop).astype(np.float32)
+    mel = rng.normal(-3, 1, (40, cfg.n_mels)).astype(np.float32)
+    sampler = PairedSegmentSampler([(audio, mel)], cfg)
+    a, m = sampler.next_batch()
+    assert a.shape == (cfg.batch_size, cfg.segment_size)
+    assert m.shape == (cfg.batch_size, cfg.n_mels, t_seg)
+
+    # alignment: the mel segment rows must be rows of the source mel
+    col = m[0].T  # (t_seg, n_mels)
+    src = {tuple(np.round(r, 5)) for r in mel}
+    assert all(tuple(np.round(r, 5)) in src for r in col)
+
+    trainer = VocoderTrainer(
+        None, cfg, gen=_tiny_gen(), use_mesh=False,
+        mpd=MultiPeriodDiscriminator(**TINY_MPD),
+        msd=MultiScaleDiscriminator(**TINY_MSD), pairs=[(audio, mel)])
+    state = trainer.train(steps=2)
+    assert int(jax.device_get(state.step)) == 2
+
+    # explicit-mel step == implicit step when mel is the audio's own
+    t2 = VocoderTrainer(
+        [audio], cfg, gen=_tiny_gen(), use_mesh=False,
+        mpd=MultiPeriodDiscriminator(**TINY_MPD),
+        msd=MultiScaleDiscriminator(**TINY_MSD))
+    batch = t2.sampler.next_batch()
+    from visual_onoma_to_wave_tpu.ops.stft import (
+        hann_window, logmel_and_energy, melscale_fbanks)
+    w = jnp.asarray(hann_window(cfg.win_length))
+    fb = jnp.asarray(melscale_fbanks(cfg.n_fft // 2 + 1, cfg.f_min,
+                                     cfg.f_max, cfg.n_mels,
+                                     cfg.sampling_rate))
+    own_mel, _ = logmel_and_energy(jnp.asarray(batch), w, fb, cfg.n_fft,
+                                   cfg.hop_length, cfg.win_length)
+    own_mel = own_mel[..., :t_seg]
+    sa, ma = t2.train_step(t2.state, jnp.asarray(batch))
+    t3 = VocoderTrainer(
+        [audio], cfg, gen=_tiny_gen(), use_mesh=False,
+        mpd=MultiPeriodDiscriminator(**TINY_MPD),
+        msd=MultiScaleDiscriminator(**TINY_MSD))
+    sb, mb = t3.train_step(t3.state, jnp.asarray(batch), own_mel)
+    np.testing.assert_allclose(float(ma["g_total"]), float(mb["g_total"]),
+                               rtol=1e-5)
 
 
 def test_rejects_hop_mismatch():

@@ -158,6 +158,10 @@ def cmd_train_vocoder(args):
           f"({sum(len(c) for c in clips) / cfg.sampling_rate:.0f}s of audio)")
     trainer = VocoderTrainer(clips, cfg, ckpt_dir=args.out_dir,
                              log_dir=args.log_dir)
+    if args.restore_step is not None:
+        step = trainer.restore(args.restore_step if args.restore_step >= 0
+                               else None)
+        print(f"resumed from step {step}")
     trainer.train()
     print(f"vocoder checkpoints under {args.out_dir} "
           f"(each step dir's generator/ loads via Synthesizer/--vocoder)")
@@ -273,6 +277,8 @@ def main(argv=None):
     s.add_argument("--save-every", type=int, default=10_000)
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--log-dir", default=None)
+    s.add_argument("--restore-step", type=int, default=None,
+                   help="resume from this checkpoint step (-1 = latest)")
     s.set_defaults(fn=cmd_train_vocoder)
 
     s = sub.add_parser("convert-acoustic",

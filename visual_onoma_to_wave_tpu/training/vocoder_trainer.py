@@ -108,6 +108,55 @@ class SegmentSampler:
         return out
 
 
+class PairedSegmentSampler:
+    """Aligned (audio, mel) segments for vocoder FINE-TUNING.
+
+    pairs: list of (audio (S,), mel (T, n_mels)) with mel frame t covering
+    samples [t*hop, (t+1)*hop) — e.g. the acoustic model's teacher-forced
+    postnet mels for the corpus clips (official HiFi-GAN fine-tuning).
+    Segments are cut on frame boundaries so the pair stays aligned.
+    """
+
+    def __init__(self, pairs, cfg: VocoderTrainConfig):
+        if not pairs:
+            raise ValueError("no training pairs")
+        if cfg.segment_size % cfg.hop_length:
+            raise ValueError("segment_size must be a hop multiple")
+        self.cfg = cfg
+        self.rng = np.random.default_rng(cfg.seed)
+        self.pairs = []
+        t_seg = cfg.segment_size // cfg.hop_length
+        for audio, mel in pairs:
+            audio = np.asarray(audio, np.float32).reshape(-1)
+            mel = np.asarray(mel, np.float32)
+            t = min(len(audio) // cfg.hop_length, mel.shape[0])
+            if t < 1:
+                continue
+            self.pairs.append((audio[:t * cfg.hop_length], mel[:t]))
+        if not self.pairs:
+            raise ValueError("all pairs shorter than one hop")
+        self.t_seg = t_seg
+
+    def next_batch(self):
+        c = self.cfg
+        audio = np.zeros((c.batch_size, c.segment_size), np.float32)
+        mel = np.full((c.batch_size, self.t_seg, c.n_mels),
+                      float(np.log(1e-5)), np.float32)  # log-clamp silence
+        idx = self.rng.integers(0, len(self.pairs), c.batch_size)
+        for i, pi in enumerate(idx):
+            a, m = self.pairs[pi]
+            t = m.shape[0]
+            if t > self.t_seg:
+                f0 = int(self.rng.integers(0, t - self.t_seg + 1))
+                mel[i] = m[f0:f0 + self.t_seg]
+                audio[i] = a[f0 * c.hop_length:
+                             f0 * c.hop_length + c.segment_size]
+            else:
+                mel[i, :t] = m
+                audio[i, :t * c.hop_length] = a
+        return audio, mel.transpose(0, 2, 1)            # mel: (B, n_mels, T)
+
+
 def load_wav_dir(wav_dir: str | pathlib.Path, limit: int | None = None,
                  target_sr: int = 22050):
     """Load all .wav files under a directory as float32 [-1, 1] arrays,
@@ -148,11 +197,11 @@ def make_gan_train_step(gen: HiFiGANGenerator,
         loss_s = discriminator_loss(sr, sg)
         return loss_p + loss_s, {"d_mpd": loss_p, "d_msd": loss_s}
 
-    def gen_loss_fn(gparams, dparams, mel, y):
+    def gen_loss_fn(gparams, dparams, mel_in, mel_target, y):
         mpd_p, msd_p = dparams
-        y_hat = gen.apply(gparams, mel.swapaxes(1, 2))  # (B, Tseg)
+        y_hat = gen.apply(gparams, mel_in.swapaxes(1, 2))  # (B, Tseg)
         mel_hat = mel_of(y_hat)
-        mel_l1 = jnp.mean(jnp.abs(mel_hat - mel))
+        mel_l1 = jnp.mean(jnp.abs(mel_hat - mel_target))
         pr, pg, fpr, fpg = mpd.apply({"params": mpd_p}, y, y_hat)
         sr, sg, fsr, fsg = msd.apply({"params": msd_p}, y, y_hat)
         adv = generator_adversarial_loss(pg) + generator_adversarial_loss(sg)
@@ -162,12 +211,20 @@ def make_gan_train_step(gen: HiFiGANGenerator,
         return total, (aux, y_hat)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: GANTrainState, audio: jnp.ndarray):
-        """audio: (B, segment_size) float32 in [-1, 1]."""
-        mel = mel_of(audio)                             # (B, n_mels, T)
+    def train_step(state: GANTrainState, audio: jnp.ndarray, mel=None):
+        """audio: (B, segment_size) float32 in [-1, 1].
+
+        mel: optional (B, n_mels, segment/hop) generator INPUT. When None
+        (from-scratch training) it is the audio's own log-mel; pass the
+        acoustic model's teacher-forced predictions for the official
+        fine-tuning recipe (closes the predicted-mel domain gap). The mel
+        L1 target is always computed from the real audio.
+        """
+        mel_target = mel_of(audio)                      # (B, n_mels, T)
+        mel_in = mel_target if mel is None else mel
 
         # generated audio for the D update (G is frozen here)
-        y_hat = gen.apply(state.gen_params, mel.swapaxes(1, 2))
+        y_hat = gen.apply(state.gen_params, mel_in.swapaxes(1, 2))
         y_hat_sg = jax.lax.stop_gradient(y_hat)
 
         (d_total, d_aux), d_grads = jax.value_and_grad(
@@ -181,7 +238,8 @@ def make_gan_train_step(gen: HiFiGANGenerator,
         # G update against the freshly-updated discriminators
         (g_total, (g_aux, _)), g_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True)(
-                state.gen_params, (mpd_params, msd_params), mel, audio)
+                state.gen_params, (mpd_params, msd_params), mel_in,
+                mel_target, audio)
         g_updates, gen_opt = gen_tx.update(
             g_grads, state.gen_opt, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, g_updates)
@@ -203,19 +261,23 @@ class VocoderTrainer:
     (e.g. `load_wav_dir(...)` over the corpus' formatted wav/ directory).
     """
 
-    def __init__(self, clips: Sequence[np.ndarray],
+    def __init__(self, clips: Sequence[np.ndarray] | None,
                  cfg: VocoderTrainConfig | None = None,
                  gen: HiFiGANGenerator | None = None,
                  ckpt_dir: str | pathlib.Path | None = None,
                  log_dir: str | pathlib.Path | None = None,
                  use_mesh: bool = True,
                  mpd: MultiPeriodDiscriminator | None = None,
-                 msd: MultiScaleDiscriminator | None = None):
+                 msd: MultiScaleDiscriminator | None = None,
+                 pairs=None):
         self.cfg = cfg or VocoderTrainConfig()
         self.gen = gen or HiFiGANGenerator()
         self.mpd = mpd or MultiPeriodDiscriminator()
         self.msd = msd or MultiScaleDiscriminator()
-        self.sampler = SegmentSampler(clips, self.cfg)
+        if pairs is not None:  # fine-tuning on (audio, predicted-mel) pairs
+            self.sampler = PairedSegmentSampler(pairs, self.cfg)
+        else:
+            self.sampler = SegmentSampler(clips, self.cfg)
         self.ckpt_dir = pathlib.Path(ckpt_dir) if ckpt_dir else None
         self.log = None
         if log_dir is not None:
@@ -273,34 +335,66 @@ class VocoderTrainer:
         return x
 
     def save(self, step: int) -> None:
+        """Write <ckpt>/<step>/{generator, full_state}.
+
+        `generator` is the serving artifact (loads via Synthesizer /
+        vocoder_infer / cli --vocoder); `full_state` carries both
+        optimizers and the discriminators for exact resume.
+        """
         if self.ckpt_dir is None:
             return
         from visual_onoma_to_wave_tpu.utils.checkpoint import save_params
         d = self.ckpt_dir / f"{step}"
         save_params(d / "generator", jax.device_get(self.state.gen_params))
-        save_params(d / "discriminators",
-                    jax.device_get({"mpd": self.state.mpd_params,
-                                    "msd": self.state.msd_params}))
+        save_params(d / "full_state", jax.device_get(self.state))
+
+    def restore(self, step: int | None = None) -> int:
+        """Resume from <ckpt>/<step>/full_state (latest step if None).
+
+        Restores generator, discriminators, both Adam states and the
+        schedule position. Returns the restored step.
+        """
+        if self.ckpt_dir is None:
+            raise ValueError("no ckpt_dir configured")
+        from visual_onoma_to_wave_tpu.utils.checkpoint import load_params
+        if step is None:
+            steps = sorted(int(p.name) for p in self.ckpt_dir.iterdir()
+                           if p.is_dir() and p.name.isdigit())
+            if not steps:
+                raise FileNotFoundError(f"no checkpoints in {self.ckpt_dir}")
+            step = steps[-1]
+        self.state = load_params(self.ckpt_dir / f"{step}" / "full_state",
+                                 template=jax.device_get(self.state))
+        return int(self.state.step)
 
     def train(self, steps: int | None = None) -> GANTrainState:
+        """Train until state.step reaches `steps` (cfg.total_steps default) —
+        total-step semantics, so a restored trainer continues seamlessly."""
         c = self.cfg
-        steps = steps if steps is not None else c.total_steps
+        target = steps if steps is not None else c.total_steps
+        step = int(jax.device_get(self.state.step))
+        done0 = step
         t0 = time.perf_counter()
-        metrics = {}
-        for i in range(steps):
-            audio = self._place(self.sampler.next_batch())
-            self.state, metrics = self.train_step(self.state, audio)
-            step = i + 1
-            if step % c.log_every == 0 or step == steps:
+        while step < target:
+            batch = self.sampler.next_batch()
+            if isinstance(batch, tuple):               # paired fine-tuning
+                audio, mel = batch
+                self.state, metrics = self.train_step(
+                    self.state, self._place(audio), self._place(mel))
+            else:
+                self.state, metrics = self.train_step(
+                    self.state, self._place(batch))
+            step += 1
+            if step % c.log_every == 0 or step == target:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                dt = time.perf_counter() - t0
+                rate = (step - done0) / (time.perf_counter() - t0)
                 line = (f"vocoder step {step}: mel_l1={m['mel_l1']:.4f} "
                         f"g={m['g_total']:.3f} d={m['d_total']:.3f} "
-                        f"({step / dt:.2f} steps/s)")
+                        f"({rate:.2f} steps/s)")
                 print(line)
                 if self.log is not None:
                     self.log.scalars(step, m, prefix="Vocoder")
                     self.log.text(line)
-            if step % c.save_every == 0 or step == steps:
+            if step % c.save_every == 0 or step == target:
                 self.save(step)
         return self.state
