@@ -269,6 +269,69 @@ def test_finetune_on_paired_mels():
                                rtol=1e-5)
 
 
+@pytest.fixture(scope="module")
+def finetune_env(tmp_path_factory):
+    """Synthetic corpus preprocessed with save_audio=True + a tiny acoustic
+    Trainer over it (the full fine-tuning data path)."""
+    import test_pipeline_e2e as pe
+    from visual_onoma_to_wave_tpu.data.preprocess import Preprocessor
+    from visual_onoma_to_wave_tpu.training.trainer import Trainer
+
+    # build the same synthetic corpus as the pipeline e2e tests
+    cfg = pe.corpus.__wrapped__(tmp_path_factory)
+    pre = Preprocessor(cfg, save_audio=True)
+    pre.build(verbose=False)
+    out = tmp_path_factory.mktemp("ft_out")
+    cfg = cfg.replace(
+        path=cfg.path.__class__(
+            corpus=cfg.path.corpus, formatted=cfg.path.formatted,
+            preprocessed=cfg.path.preprocessed, ckpt=str(out / "ckpt"),
+            log=str(out / "log"), result=str(out / "result"), font=""),
+        model=cfg.model.__class__(
+            transformer=cfg.model.transformer.__class__(
+                encoder_layer=1, decoder_layer=1, encoder_hidden=32,
+                decoder_hidden=32, conv_filter_size=64,
+                conv_kernel_size=(3, 1)),
+            visual_feature_extractor=cfg.model.visual_feature_extractor.__class__(
+                layer_num=1),
+            max_seq_len=256),
+        train=cfg.train.__class__(
+            optimizer=cfg.train.optimizer.__class__(batch_size=2,
+                                                    warm_up_step=10),
+            step=cfg.train.step.__class__(
+                total_step=2, log_step=10, synth_step=100, val_step=100,
+                save_step=100),
+            max_mel_len=256, seed=0))
+    trainer = Trainer(cfg, use_mesh=False)
+    yield cfg, trainer
+    trainer.ckpt.close()
+
+
+def test_teacher_forced_pairs_and_finetune(finetune_env):
+    """End-to-end fine-tuning data path: preprocess(save_audio) ->
+    teacher-forced acoustic mels -> paired vocoder fine-tune step."""
+    from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
+        teacher_forced_pairs)
+
+    cfg, trainer = finetune_env
+    pairs = teacher_forced_pairs(trainer)
+    assert pairs, "no pairs exported"
+    hop = cfg.audio.stft.hop_length
+    for a, m in pairs:
+        assert len(a) == m.shape[0] * hop     # frame-aligned by design
+        assert m.shape[1] == cfg.audio.mel.n_mel_channels
+        assert np.isfinite(m).all() and np.isfinite(a).all()
+    # augmented rows have no saved audio and must have been skipped
+    assert len(pairs) <= len(trainer.train_ds.rows)
+
+    vt = VocoderTrainer(
+        None, _tiny_cfg(), gen=_tiny_gen(), use_mesh=False,
+        mpd=MultiPeriodDiscriminator(**TINY_MPD),
+        msd=MultiScaleDiscriminator(**TINY_MSD), pairs=pairs)
+    state = vt.train(steps=1)
+    assert int(jax.device_get(state.step)) == 1
+
+
 def test_rejects_hop_mismatch():
     gen = HiFiGANGenerator(upsample_rates=(8, 8, 2),
                            upsample_kernel_sizes=(16, 16, 4),

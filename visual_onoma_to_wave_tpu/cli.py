@@ -62,7 +62,8 @@ def cmd_prepare_tg(args):
 def cmd_preprocess(args):
     from visual_onoma_to_wave_tpu.data.preprocess import Preprocessor
     cfg = load_config(args.config)
-    result = Preprocessor(cfg, num_workers=args.num_workers).build()
+    result = Preprocessor(cfg, num_workers=args.num_workers,
+                          save_audio=args.save_audio).build()
     print(json.dumps(result))
 
 
@@ -204,6 +205,9 @@ def main(argv=None):
     s.add_argument("config")
     s.add_argument("--num-workers", type=int, default=None,
                    help="host worker processes (reference --num_workers)")
+    s.add_argument("--save-audio", action="store_true",
+                   help="also save mel-aligned trimmed waveforms under "
+                        "audio/ (vocoder training/fine-tuning pairs)")
     s.set_defaults(fn=cmd_preprocess)
 
     s = sub.add_parser("train", help="train the acoustic model (04_train)")

@@ -100,10 +100,16 @@ class ClipTask:
 
 
 class Preprocessor:
-    def __init__(self, config: Config, num_workers: int | None = None):
+    def __init__(self, config: Config, num_workers: int | None = None,
+                 save_audio: bool = False):
         self.config = config
         self.num_workers = (NUM_HOST_WORKERS if num_workers is None
                             else max(1, num_workers))
+        # save_audio: also write the trimmed waveform (cut to the mel's
+        # frame count) under audio/<label>/<name>.npy — mel-aligned pairs
+        # for vocoder training/fine-tuning (training/vocoder_trainer.py).
+        # Beyond-reference; the reference discards trimmed audio.
+        self.save_audio = save_audio
         self._renderers: dict[str, VisualTextRenderer] = {}
         self.paths = config.path
         self.sr = config.audio.sampling_rate
@@ -301,6 +307,12 @@ class Preprocessor:
 
     def _save_clip(self, t: ClipTask, mel: np.ndarray, energy: np.ndarray,
                    kurtosis: np.ndarray):
+        if self.save_audio:
+            n = int(t.durations.sum()) * self.hop
+            a = t.audio[:n].astype(np.float32)
+            if len(a) < n:  # alignment may reach past the trimmed tail
+                a = np.pad(a, (0, n - len(a)))
+            np.save(self.out / "audio" / t.label / f"{t.basename}.npy", a)
         np.save(self.out / "duration" / t.label / f"{t.basename}.npy", t.durations)
         np.save(self.out / "energy" / t.label / f"{t.basename}.npy", energy)
         np.save(self.out / "kurtosis" / t.label / f"{t.basename}.npy", kurtosis)
@@ -378,7 +390,10 @@ class Preprocessor:
                 for t, f in zip(chunk, feats)]
 
     def _makedirs(self, label: str) -> None:
-        for d in ("duration", "energy", "kurtosis", "mel"):
+        dirs = ("duration", "energy", "kurtosis", "mel")
+        if self.save_audio:
+            dirs += ("audio",)
+        for d in dirs:
             (self.out / d / label).mkdir(parents=True, exist_ok=True)
         (self.out / "image" / "png" / label).mkdir(parents=True, exist_ok=True)
         (self.out / "image" / "width" / label).mkdir(parents=True, exist_ok=True)

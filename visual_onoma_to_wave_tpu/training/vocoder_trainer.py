@@ -157,6 +157,41 @@ class PairedSegmentSampler:
         return audio, mel.transpose(0, 2, 1)            # mel: (B, n_mels, T)
 
 
+def teacher_forced_pairs(trainer, limit: int | None = None):
+    """Export (audio, predicted_mel) fine-tuning pairs from a trained
+    acoustic model.
+
+    Runs the acoustic model teacher-forced (ground-truth durations) over
+    the train split and pairs each postnet mel with the preprocessor's
+    saved trimmed waveform — requires `Preprocessor(..., save_audio=True)`
+    (`cli preprocess --save-audio`). Rows without audio on disk (the
+    feature-space augmentations) are skipped. Feed the result to
+    `VocoderTrainer(pairs=...)` — the official HiFi-GAN fine-tuning
+    recipe, closing the predicted-mel domain gap for `Synthesizer`.
+    """
+    import jax
+
+    from visual_onoma_to_wave_tpu.training.trainer import _jit_batch
+
+    root = pathlib.Path(trainer.config.path.preprocessed)
+    labels = {name: label for name, label, *_ in trainer.train_ds.rows}
+    pairs = []
+    for batch in trainer.train_ds.batches(group_size=1, shuffle=False):
+        jb = trainer._place(_jit_batch(batch))
+        _, outputs = trainer.eval_step(trainer.state, jb)
+        mels = np.asarray(jax.device_get(outputs["postnet_mel"]),
+                          np.float32)                    # (B, T, n_mels)
+        lens = np.asarray(jax.device_get(outputs["mel_lens"]))
+        for i, name in enumerate(batch["names"]):
+            p = root / "audio" / labels[name] / f"{name}.npy"
+            if not p.exists():
+                continue
+            pairs.append((np.load(p), mels[i, :int(lens[i])]))
+            if limit and len(pairs) >= limit:
+                return pairs
+    return pairs
+
+
 def load_wav_dir(wav_dir: str | pathlib.Path, limit: int | None = None,
                  target_sr: int = 22050):
     """Load all .wav files under a directory as float32 [-1, 1] arrays,
