@@ -109,7 +109,14 @@ class BatchingServer:
                 else:
                     self._send(404, {"error": "not found"})
 
-        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        class _Server(ThreadingHTTPServer):
+            # default accept backlog (5) resets connections under bursty
+            # concurrent load — measured at 48 clients (benchmarks/
+            # bench_serve.py); size it to worst-case concurrency
+            request_queue_size = 256
+            daemon_threads = True
+
+        self.httpd = _Server((host, port), Handler)
         self.port = self.httpd.server_port
         self.host = host
         self._worker = threading.Thread(target=self._work, daemon=True)
