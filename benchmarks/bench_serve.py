@@ -10,7 +10,6 @@ Usage: python benchmarks/bench_serve.py [--clients N] [--requests N]
 """
 from __future__ import annotations
 
-import base64
 import http.client
 import json
 import pathlib
@@ -46,12 +45,10 @@ def main() -> int:
 
     import tempfile
 
-    from visual_onoma_to_wave_tpu.config import DatasetMetadata
 
     # metadata/vocab from a synthetic preprocessed dir; full-size model
     root = pathlib.Path(tempfile.mkdtemp(prefix="bench_serve_pre"))
-    make_preprocessed(root)
-    meta = DatasetMetadata.load(root)
+    meta = make_preprocessed(root)
     cfg = Config()
     cfg = cfg.replace(path=cfg.path.__class__(
         preprocessed=str(root), ckpt="/tmp/bs_ckpt", log="/tmp/bs_log",
@@ -103,7 +100,6 @@ def main() -> int:
     # one text bucket (<=4 chars): distinct executables are expensive to
     # warm over the tunnel (compile + one-time upload per shape)
     texts = ["パンパン", "カンカン", "トントン", "パパパパ", "ドドド"]
-    rng = np.random.default_rng(0)
 
     def fire(path, body):
         conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=600)
@@ -127,18 +123,24 @@ def main() -> int:
              "d_control": d_control} for i in range(b)]})
         print(f"warm bucket {b}: {time.perf_counter() - t0:.1f}s", flush=True)
         b //= 2
+    srv.reset_stats()  # measure the load phase only, not the warm batches
 
-    results = []
+    results, failures = [], []
     lock = threading.Lock()
 
     def client(ci):
         r = np.random.default_rng(ci)
         for _ in range(per_client):
             t = texts[int(r.integers(0, len(texts)))]
-            out = fire("/v1/synthesize", {
-                "text": t, "audiotype": 0, "d_control": d_control,
-                "width_rates": [float(x) for x in
-                                r.uniform(0.7, 1.4, len(t))]})
+            try:
+                out = fire("/v1/synthesize", {
+                    "text": t, "audiotype": 0, "d_control": d_control,
+                    "width_rates": [float(x) for x in
+                                    r.uniform(0.7, 1.4, len(t))]})
+            except Exception as e:
+                with lock:
+                    failures.append(f"{type(e).__name__}: {e}")
+                continue
             with lock:
                 results.append(out["seconds"])
 
@@ -153,17 +155,20 @@ def main() -> int:
     stats = srv.snapshot_stats()
     srv.stop()
 
-    n = clients * per_client
     print(json.dumps({
         "metric": "served_synthesis",
-        "clients": clients, "requests": n,
-        "requests_per_sec": round(n / dt, 1),
+        "clients": clients,
+        "requests_completed": len(results),
+        "requests_failed": len(failures),
+        "requests_per_sec": round(len(results) / dt, 1),
         "audio_sec_per_sec": round(sum(results) / dt, 1),
         "latency_ms_p50": stats.get("latency_ms_p50"),
         "latency_ms_p95": stats.get("latency_ms_p95"),
         "mean_batch_size": stats.get("mean_batch_size"),
     }))
-    return 0
+    if failures:
+        print("failures:", failures[:5])
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":

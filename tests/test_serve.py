@@ -114,6 +114,34 @@ def test_validation_errors(server):
     assert _request(server, "POST", "/nope", {})[0] == 404
 
 
+def test_non_numeric_controls_rejected_not_wedged(server):
+    """A malformed control must be a 400 at validation, never reach the
+    singleton worker (where it would kill it and wedge every later
+    request)."""
+    status, out = _request(server, "POST", "/v1/synthesize",
+                           {"text": "パ", "audiotype": "drum",
+                            "d_control": "fast"})
+    assert status == 400 and "d_control" in out["error"]
+    status, _ = _request(server, "POST", "/v1/synthesize",
+                         {"text": "パ", "audiotype": "drum",
+                          "e_control": float("nan")})
+    assert status == 400
+    # the server still serves afterwards
+    status, r = _request(server, "POST", "/v1/synthesize",
+                         {"text": "パ", "audiotype": "drum"})
+    assert status == 200 and r["mel_frames"] >= 1
+
+
+def test_reset_stats(server):
+    _request(server, "POST", "/v1/synthesize",
+             {"text": "パ", "audiotype": "drum"})
+    assert _request(server, "GET", "/v1/stats")[1]["requests"] > 0
+    server.reset_stats()
+    s = _request(server, "GET", "/v1/stats")[1]
+    assert s["requests"] == 0 and s["batches"] == 0
+    assert "latency_ms_p50" not in s
+
+
 def test_distinct_controls_split_groups(server):
     """Requests with different d_control must not share a device batch but
     must all be served correctly."""

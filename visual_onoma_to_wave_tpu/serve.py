@@ -114,7 +114,6 @@ class BatchingServer:
             # concurrent load — measured at 48 clients (benchmarks/
             # bench_serve.py); size it to worst-case concurrency
             request_queue_size = 256
-            daemon_threads = True
 
         self.httpd = _Server((host, port), Handler)
         self.port = self.httpd.server_port
@@ -156,6 +155,12 @@ class BatchingServer:
             "max_text_len": MAX_TEXT_LEN,
         }
 
+    def reset_stats(self) -> None:
+        """Zero the counters/latency window (e.g. after benchmark warmup)."""
+        with self._stats_lock:
+            self.stats = {k: 0 for k in self.stats}
+            self._latencies.clear()
+
     def snapshot_stats(self) -> dict:
         with self._stats_lock:
             lat = sorted(self._latencies[-1000:])
@@ -178,6 +183,12 @@ class BatchingServer:
         wr = req.get("width_rates")
         if wr is not None and len(wr) != len(text):
             return "width_rates length must match text"
+        for key in ("e_control", "d_control"):
+            v = req.get(key, 1.0)
+            # reject non-numeric controls here: they would otherwise raise
+            # inside the singleton worker thread and wedge the server
+            if not isinstance(v, (int, float)) or not np.isfinite(v):
+                return f"{key} must be a finite number"
         return None
 
     def submit(self, req: dict) -> tuple[int, dict]:
@@ -230,25 +241,31 @@ class BatchingServer:
                 first = self._q.get(timeout=0.1)
             except queue.Empty:
                 continue
-            group = [first]
-            key = self._group_key(first.req)
-            deadline = time.perf_counter() + self.window_s
-            stash = []
-            while len(group) < self.max_batch:
-                left = deadline - time.perf_counter()
-                if left <= 0:
-                    break
-                try:
-                    p = self._q.get(timeout=left)
-                except queue.Empty:
-                    break
-                if self._group_key(p.req) == key:
-                    group.append(p)
-                else:
-                    stash.append(p)   # different controls: next batch
-            for p in stash:
-                self._q.put(p)
-            self._serve_group(group, key)
+            # the worker is a singleton: it must never die, or every queued
+            # and future request would block forever on its event
+            try:
+                group = [first]
+                key = self._group_key(first.req)
+                deadline = time.perf_counter() + self.window_s
+                stash = []
+                while len(group) < self.max_batch:
+                    left = deadline - time.perf_counter()
+                    if left <= 0:
+                        break
+                    try:
+                        p = self._q.get(timeout=left)
+                    except queue.Empty:
+                        break
+                    if self._group_key(p.req) == key:
+                        group.append(p)
+                    else:
+                        stash.append(p)   # different controls: next batch
+                for p in stash:
+                    self._q.put(p)
+                self._serve_group(group, key)
+            except Exception as e:  # pragma: no cover - defensive
+                first.error = f"{type(e).__name__}: {e}"
+                first.event.set()
 
     def _serve_group(self, group: list[_Pending], key) -> None:
         from visual_onoma_to_wave_tpu.data.audio_io import wav_bytes
