@@ -174,6 +174,13 @@ def test_synthesize_batch(tiny_env):
     single = synth.synthesize("パンパン", "drum")
     np.testing.assert_array_equal(results[1].durations, single.durations)
     np.testing.assert_allclose(results[1].mel, single.mel, atol=1e-4)
+    # return_mel=False (the HTTP server's mode): no mel download, but
+    # mel_len is set and the fused-dispatch waveform is identical
+    lean = synth.synthesize_batch(texts, ["drum"] * 3, return_mel=False)
+    for r, l in zip(results, lean):
+        assert l.mel is None
+        assert l.mel_len == r.mel.shape[0]
+        np.testing.assert_array_equal(l.wav, r.wav)
     trainer.ckpt.close()
 
 

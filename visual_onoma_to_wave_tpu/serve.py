@@ -4,7 +4,7 @@ BEYOND-REFERENCE extension: the reference's only serving surface is the
 interactive notebook (reference prediction.ipynb); `demo_server.py`
 reproduces that. This module adds the production path: a JSON API whose
 concurrent single requests are micro-batched onto the TPU through
-`Synthesizer.synthesize_batch` — one acoustic forward + one vocoder call
+`Synthesizer.synthesize_batch` — one fused acoustic+vocoder device dispatch
 per batch, with pow-2 batch / text-length bucketing so a small fixed set
 of executables serves all traffic (the shapes bench.py's 2400x-realtime
 headline is measured on).
@@ -274,17 +274,19 @@ class BatchingServer:
         sr = self.synth.config.audio.sampling_rate
         hop = self.synth.config.audio.stft.hop_length
         try:
+            # return_mel=False: the responses only need frame counts, so the
+            # (B, T, n_mels) mel batch never leaves the device
             results = self.synth.synthesize_batch(
                 [p.req["text"] for p in group],
                 [p.req.get("audiotype", 0) for p in group],
                 width_rates=[p.req.get("width_rates") for p in group],
-                e_control=e_control, d_control=d_control)
+                e_control=e_control, d_control=d_control, return_mel=False)
             for p, r in zip(group, results):
                 out = {
                     "sample_rate": sr,
-                    "mel_frames": int(r.mel.shape[0]),
+                    "mel_frames": int(r.mel_len),
                     "durations": [int(d) for d in r.durations],
-                    "seconds": float(r.mel.shape[0] * hop / sr),
+                    "seconds": float(r.mel_len * hop / sr),
                     "wav_b64": (base64.b64encode(
                         wav_bytes(np.asarray(r.wav), sr)).decode()
                         if r.wav is not None else None),

@@ -10,9 +10,11 @@ durations, vocode the postnet mel with HiFi-GAN.
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,10 +27,12 @@ from visual_onoma_to_wave_tpu.training.train_state import TrainState, make_synth
 @dataclass
 class SynthesisResult:
     wav: Optional[np.ndarray]          # (samples,) or None if no vocoder
-    mel: np.ndarray                    # (T, n_mels) postnet mel
+    mel: Optional[np.ndarray]          # (T, n_mels) postnet mel (None when
+                                       # requested with return_mel=False)
     durations: np.ndarray              # (n_chars,) predicted frame counts
     energy: Optional[np.ndarray]       # (n_chars,) predicted (normalized)
     image: Optional[np.ndarray]        # (H, W) rendered visual onomatopoeia
+    mel_len: Optional[int] = None      # predicted mel frames (>=1 clamped)
 
 
 class Synthesizer:
@@ -46,6 +50,7 @@ class Synthesizer:
         self.cell_width = metadata.max_pixelsize
         self.renderer = VisualTextRenderer.from_config(config)
         self._synth_step = make_synth_step(model, self.use_image)
+        self._fused_step = None
         # pad text/mel to small buckets to bound jit specializations
         self.text_bucket = 4
         self.mel_bucket = 64
@@ -139,7 +144,6 @@ class Synthesizer:
         width_rates: Optional[Sequence[float]] = None,
         e_control: float = 1.0,
         d_control: float = 1.0,
-        max_mel_len: Optional[int] = None,
     ) -> SynthesisResult:
         if isinstance(audiotype, str):
             audiotype_id = self.metadata.audiotype_map[audiotype]
@@ -179,11 +183,50 @@ class Synthesizer:
         if self.vocoder_params is not None and mel_len > 0:
             wav = self._vocode_padded(mel[None], [mel_len])[0]
         return SynthesisResult(wav=wav, mel=mel, durations=durations,
-                               energy=energy, image=image)
+                               energy=energy, image=image,
+                               mel_len=max(mel_len, 1))
 
     # ------------------------------------------------------------------
     # batched serving path
     # ------------------------------------------------------------------
+    def _get_fused_step(self):
+        """Acoustic forward + vocoder in ONE jit executable (the serving hot
+        path). Halves device dispatches per served batch and keeps the padded
+        mel in HBM instead of round-tripping it through the host — on the
+        tunneled TPU platform the per-dispatch tail latency dominates served
+        latency (BASELINE.md), so one dispatch per batch matters more than
+        anything inside it. The reference runs these as two separate calls
+        (model(...) then vocoder_infer, utils/model.py:73-98)."""
+        if self._fused_step is not None:
+            return self._fused_step
+        from visual_onoma_to_wave_tpu.models.melgan import (
+            LN10, MelGANGenerator)
+        from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
+        gen = self.vocoder
+        if gen is None:
+            gen = get_vocoder(self.config.model.vocoder_model)
+            self.vocoder = gen
+        # MelGAN consumes log10 mels (reference utils/model.py:77)
+        is_melgan = isinstance(gen, MelGANGenerator)
+        model, use_image = self.model, self.use_image
+
+        @functools.partial(jax.jit, static_argnames=("e_control", "d_control"))
+        def fused(state, vocoder_params, batch,
+                  e_control: float = 1.0, d_control: float = 1.0):
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                audiotypes=batch["audiotypes"], texts=batch["texts"],
+                src_lens=batch["src_lens"],
+                image_cells=batch.get("image_cells"),
+                use_image=use_image, e_control=e_control,
+                d_control=d_control, deterministic=True)
+            mel = out["postnet_mel"]
+            wav = gen.apply(vocoder_params, mel / LN10 if is_melgan else mel)
+            return {**out, "wav": wav}
+
+        self._fused_step = fused
+        return fused
+
     def _vocode_padded(self, mels: np.ndarray, mel_lens: Sequence[int]
                        ) -> list[np.ndarray]:
         """Vocode a (B, T, M) mel batch padded to a MEL_BUCKET multiple so the
@@ -207,11 +250,16 @@ class Synthesizer:
         width_rates: Optional[Sequence[Optional[Sequence[float]]]] = None,
         e_control: float = 1.0,
         d_control: float = 1.0,
+        return_mel: bool = True,
     ) -> list[SynthesisResult]:
-        """Batched text -> waveform: one acoustic forward + one vocoder call
-        for the whole batch (the serving-throughput path behind bench.py's
-        headline metric). Batch and text lengths are bucketed so repeated
-        calls reuse compiled executables."""
+        """Batched text -> waveform: acoustic forward + vocoder fused into
+        ONE device dispatch for the whole batch (the serving-throughput path
+        behind bench.py's headline metric). Batch and text lengths are
+        bucketed so repeated calls reuse compiled executables.
+
+        return_mel=False skips downloading the (B, T, n_mels) mel batch from
+        the device (results carry mel=None but mel_len is always set) — the
+        HTTP server uses this, since it only reports frame counts."""
         assert len(texts) == len(audiotypes)
         bsz = len(texts)
         if width_rates is None:
@@ -250,27 +298,34 @@ class Synthesizer:
         if self.use_image:
             batch["image_cells"] = jnp.asarray(cells)
 
-        out = self._synth_step(self.state, batch,
-                               e_control=e_control, d_control=d_control)
+        if self.vocoder_params is not None:
+            out = self._get_fused_step()(
+                self.state, self.vocoder_params, batch,
+                e_control=e_control, d_control=d_control)
+        else:
+            out = self._synth_step(self.state, batch,
+                                   e_control=e_control, d_control=d_control)
         mel_lens = np.asarray(out["mel_lens"])[:bsz].astype(int)
-        mels_padded = np.asarray(out["postnet_mel"])  # (b_pad, T, M)
-        mels = mels_padded[:bsz]
         durs = np.asarray(out["duration_rounded"])[:bsz].astype(np.int32)
         energies = (np.asarray(out["energy_pred"])[:bsz]
                     if out["energy_pred"] is not None else None)
+        mels = np.asarray(out["postnet_mel"])[:bsz] if return_mel else None
 
+        hop = self.config.audio.stft.hop_length
         wavs = [None] * bsz
         if self.vocoder_params is not None:
-            # vocode at the bucketed batch size so the executable is reused
-            lens_padded = [max(int(l), 1) for l in mel_lens] + [1] * (b_pad - bsz)
-            wavs = self._vocode_padded(mels_padded, lens_padded)[:bsz]
+            wav_full = np.asarray(out["wav"])     # (b_pad, T_static * hop)
+            wavs = [wav_full[i, : max(int(mel_lens[i]), 1) * hop]
+                    for i in range(bsz)]
 
         results = []
         for i, text in enumerate(texts):
             n = len(text)
             ml = max(int(mel_lens[i]), 1)
             results.append(SynthesisResult(
-                wav=wavs[i], mel=mels[i, :ml], durations=durs[i, :n],
+                wav=wavs[i],
+                mel=mels[i, :ml] if mels is not None else None,
+                durations=durs[i, :n],
                 energy=energies[i, :n] if energies is not None else None,
-                image=images[i]))
+                image=images[i], mel_len=ml))
         return results
