@@ -181,6 +181,10 @@ def test_synthesize_batch(tiny_env):
         assert l.mel is None
         assert l.mel_len == r.mel.shape[0]
         np.testing.assert_array_equal(l.wav, r.wav)
+    # standalone mel -> wav surface (externally produced mels)
+    ws = synth.vocode(results[0].mel[None], [results[0].mel_len])
+    assert ws[0].shape == (results[0].mel_len * 256,)
+    assert np.isfinite(ws[0]).all()
     trainer.ckpt.close()
 
 
@@ -262,8 +266,10 @@ def test_synthesize_oov_text(tiny_env):
 
 
 def test_synthesizer_with_melgan_vocoder(tiny_env):
-    """model.vocoder_model = MelGAN routes vocoding through melgan_infer
-    (log10-domain mel handling) in the Synthesizer."""
+    """model.vocoder_model = MelGAN: the fused acoustic+vocoder executable
+    must apply MelGAN's log10-domain conversion (reference
+    utils/model.py:77) — its waveform must equal the generator applied to
+    postnet_mel / ln(10)."""
     import jax
     import jax.numpy as jnp
     from visual_onoma_to_wave_tpu.models.melgan import MelGANGenerator
@@ -285,6 +291,23 @@ def test_synthesizer_with_melgan_vocoder(tiny_env):
     assert res.wav is not None
     assert res.wav.shape[0] == res.mel.shape[0] * 256
     assert np.isfinite(res.wav).all()
+    # domain parity: the fused executable must hand the vocoder log10 mels —
+    # its waveform must equal the generator applied to postnet_mel / ln(10)
+    from visual_onoma_to_wave_tpu.models.melgan import LN10
+    text, n = "パンパン", 4
+    ids = np.zeros((1, synth.text_bucket), np.int32)
+    ids[0, :n] = synth._encode(text)
+    batch = {
+        "audiotypes": jnp.asarray([0], jnp.int32),
+        "texts": jnp.asarray(ids),
+        "src_lens": jnp.asarray([n], jnp.int32),
+        "image_cells": jnp.asarray(
+            synth._render_cells(text, [1.0] * n)[None]),
+    }
+    out = synth._get_fused_step()(synth.state, gp, batch)
+    ref = gen.apply(gp, np.asarray(out["postnet_mel"]) / LN10)
+    np.testing.assert_allclose(np.asarray(out["wav"]), np.asarray(ref),
+                               atol=1e-5)
     trainer.ckpt.close()
 
 

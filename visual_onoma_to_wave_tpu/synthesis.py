@@ -171,8 +171,16 @@ class Synthesizer:
             image = (cells.transpose(1, 0, 2).reshape(cells.shape[1], -1) * 255
                      ).astype(np.uint8)
 
-        out = self._synth_step(self.state, batch,
-                               e_control=e_control, d_control=d_control)
+        # with a vocoder configured, acoustic + vocoder run as ONE dispatch
+        # (same fused executable as the serving path — halves the interactive
+        # demo's per-request device round-trips)
+        if self.vocoder_params is not None:
+            out = self._get_fused_step()(
+                self.state, self.vocoder_params, batch,
+                e_control=e_control, d_control=d_control)
+        else:
+            out = self._synth_step(self.state, batch,
+                                   e_control=e_control, d_control=d_control)
         mel_len = int(out["mel_lens"][0])
         mel = np.asarray(out["postnet_mel"][0])[:max(mel_len, 1)]
         durations = np.asarray(out["duration_rounded"][0][:n]).astype(np.int32)
@@ -181,7 +189,8 @@ class Synthesizer:
 
         wav = None
         if self.vocoder_params is not None and mel_len > 0:
-            wav = self._vocode_padded(mel[None], [mel_len])[0]
+            hop = self.config.audio.stft.hop_length
+            wav = np.asarray(out["wav"][0])[: mel_len * hop]
         return SynthesisResult(wav=wav, mel=mel, durations=durations,
                                energy=energy, image=image,
                                mel_len=max(mel_len, 1))
@@ -227,11 +236,13 @@ class Synthesizer:
         self._fused_step = fused
         return fused
 
-    def _vocode_padded(self, mels: np.ndarray, mel_lens: Sequence[int]
-                       ) -> list[np.ndarray]:
-        """Vocode a (B, T, M) mel batch padded to a MEL_BUCKET multiple so the
-        vocoder executable is reused across requests; truncate each waveform
-        to mel_len * hop samples."""
+    def vocode(self, mels: np.ndarray, mel_lens: Sequence[int]
+               ) -> list[np.ndarray]:
+        """Standalone mel -> waveform (for externally produced mels): pads
+        the (B, T, M) batch to a mel_bucket multiple so the vocoder
+        executable is reused across calls, truncates each waveform to
+        mel_len * hop samples. The text->wav paths use the fused
+        acoustic+vocoder executable instead (_get_fused_step)."""
         from visual_onoma_to_wave_tpu.models.vocoder import vocoder_infer
         hop = self.config.audio.stft.hop_length
         t = mels.shape[1]
