@@ -128,13 +128,23 @@ def main() -> int:
     results, failures = [], []
     lock = threading.Lock()
 
+    # --mixed-controls: every request draws its own continuous e/d control.
+    # Controls are per-item traced inputs of the fused executable, so this
+    # must coalesce into the same batches/executables as the uniform load
+    # (with per-value static controls it would recompile per request).
+    mixed = "--mixed-controls" in sys.argv
+
     def client(ci):
         r = np.random.default_rng(ci)
         for _ in range(per_client):
             t = texts[int(r.integers(0, len(texts)))]
             try:
                 out = fire("/v1/synthesize", {
-                    "text": t, "audiotype": 0, "d_control": d_control,
+                    "text": t, "audiotype": 0,
+                    "d_control": (float(r.uniform(0.8, 1.25)) if mixed
+                                  else d_control),
+                    "e_control": (float(r.uniform(0.8, 1.25)) if mixed
+                                  else 1.0),
                     "width_rates": [float(x) for x in
                                     r.uniform(0.7, 1.4, len(t))]})
             except Exception as e:
@@ -157,6 +167,7 @@ def main() -> int:
 
     print(json.dumps({
         "metric": "served_synthesis",
+        "mixed_controls": mixed,
         "clients": clients,
         "requests_completed": len(results),
         "requests_failed": len(failures),

@@ -114,6 +114,41 @@ def test_validation_errors(server):
     assert _request(server, "POST", "/nope", {})[0] == 404
 
 
+def test_type_malformed_requests_get_400(server):
+    """Wrong TYPES (not just wrong values) must be a 400 JSON response, not
+    an uncaught exception in the handler thread (which closes the
+    connection with no HTTP response)."""
+    bad = [
+        {"text": 5},                                        # non-string text
+        {"text": "パ", "width_rates": 3},                   # non-list rates
+        {"text": "パ", "width_rates": ["a"]},               # non-numeric rate
+        {"text": "パ", "width_rates": [True]},              # bool rate
+        {"text": "パ{ン"},                                  # brace in text
+        {"text": "パ\nン"},                                 # newline in text
+        {"text": "パ", "audiotype": 99},                    # id out of range
+        {"text": "パ", "audiotype": [1]},                   # wrong type
+        {"text": "パ", "e_control": True},                  # bool control
+    ]
+    for req in bad:
+        status, out = _request(server, "POST", "/v1/synthesize", req)
+        assert status == 400 and "error" in out, req
+    assert _request(server, "POST", "/v1/batch", {"items": "ab"})[0] == 400
+    assert _request(server, "POST", "/v1/batch", {"items": ["x"]})[0] == 400
+    # non-object JSON body
+    import http.client
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=300)
+    conn.request("POST", "/v1/synthesize", json.dumps([1, 2]),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 400
+    resp.read()
+    conn.close()
+    # the server still serves afterwards
+    status, r = _request(server, "POST", "/v1/synthesize",
+                         {"text": "パ", "audiotype": "drum"})
+    assert status == 200 and r["mel_frames"] >= 1
+
+
 def test_non_numeric_controls_rejected_not_wedged(server):
     """A malformed control must be a 400 at validation, never reach the
     singleton worker (where it would kill it and wedge every later
@@ -142,10 +177,12 @@ def test_reset_stats(server):
     assert "latency_ms_p50" not in s
 
 
-def test_distinct_controls_split_groups(server):
-    """Requests with different d_control must not share a device batch but
-    must all be served correctly."""
+def test_distinct_controls_share_a_batch(server):
+    """Controls are per-item traced inputs: requests with different
+    d_control coalesce into ONE device batch (no grouping, no starvation)
+    and each is served with its own control value."""
     results = [None] * 2
+    before = _request(server, "GET", "/v1/stats")[1]["batches"]
 
     def fire(i, d):
         results[i] = _request(server, "POST", "/v1/synthesize",
@@ -161,3 +198,41 @@ def test_distinct_controls_split_groups(server):
     assert results[0][0] == 200 and results[1][0] == 200
     # longer duration control should never shorten the clip
     assert results[1][1]["mel_frames"] >= results[0][1]["mel_frames"]
+    # both went through at most 2 batches (1 when the window caught both);
+    # the old design forced them into separate groups with re-queueing
+    after = _request(server, "GET", "/v1/stats")[1]["batches"]
+    assert after - before <= 2
+
+
+def test_poisoned_request_isolated_from_batch(server, monkeypatch):
+    """A request that fails inside the device call must not fail innocent
+    requests micro-batched with it: the worker retries items individually."""
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+
+    real = Synthesizer.synthesize_batch
+
+    def poisoned(self, texts, audiotypes, **kw):
+        if any(t == "ドド" for t in texts) and len(texts) > 1:
+            raise RuntimeError("injected batch failure")
+        if texts == ["ドド"]:
+            raise RuntimeError("injected item failure")
+        return real(self, texts, audiotypes, **kw)
+
+    monkeypatch.setattr(Synthesizer, "synthesize_batch", poisoned)
+    results = {}
+
+    def fire(key, text):
+        results[key] = _request(server, "POST", "/v1/synthesize",
+                                {"text": text, "audiotype": "drum"})
+
+    threads = [threading.Thread(target=fire, args=("bad", "ドド")),
+               threading.Thread(target=fire, args=("good1", "パン")),
+               threading.Thread(target=fire, args=("good2", "パンパ"))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # the innocent requests succeed even when batched with the poisoned one
+    assert results["good1"][0] == 200 and results["good2"][0] == 200
+    assert results["bad"][0] == 500
+    assert "injected" in results["bad"][1]["error"]

@@ -204,6 +204,11 @@ def test_resume_restores_full_state(tmp_path):
     got = jax.device_get(t2.state)
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
         np.testing.assert_array_equal(a, b)
+    # the sampler RNG stream position is restored too: the resumed trainer
+    # must see the batch an uninterrupted run would draw next, not a replay
+    # of the seed-initial stream
+    np.testing.assert_array_equal(t2.sampler.next_batch(),
+                                  t1.sampler.next_batch())
     # total-step semantics: continues from 3, not from 0
     t2.train(steps=4)
     assert int(jax.device_get(t2.state.step)) == 4

@@ -48,20 +48,10 @@ def read_wav(path: str | pathlib.Path) -> tuple[np.ndarray, int]:
     return x, sr
 
 
-def write_wav(path: str | pathlib.Path, audio: np.ndarray, sample_rate: int) -> None:
-    """Write float32 [-1, 1] mono audio as 16-bit PCM wav."""
-    audio = np.clip(np.asarray(audio, dtype=np.float64), -1.0, 1.0)
-    pcm = np.round(audio * 32767.0).astype("<i2")
-    with wave.open(str(path), "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(sample_rate)
-        w.writeframes(pcm.tobytes())
-
-
 def wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
     """float32 [-1, 1] mono audio -> in-memory 16-bit PCM wav file bytes
-    (for the demo server's audio playback; no temp files)."""
+    (for the HTTP servers' audio payloads; no temp files). The single
+    float->PCM encode shared by every wav writer in the package."""
     import io
 
     audio = np.clip(np.asarray(audio, dtype=np.float64), -1.0, 1.0)
@@ -73,6 +63,11 @@ def wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
         w.setframerate(sample_rate)
         w.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+def write_wav(path: str | pathlib.Path, audio: np.ndarray, sample_rate: int) -> None:
+    """Write float32 [-1, 1] mono audio as 16-bit PCM wav."""
+    pathlib.Path(path).write_bytes(wav_bytes(audio, sample_rate))
 
 
 def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:

@@ -26,6 +26,20 @@ def _make_bins(vmin: float, vmax: float, n_bins: int, quantization: str) -> np.n
     return np.linspace(vmin, vmax, n_bins - 1).astype(np.float32)
 
 
+def _control_column(c):
+    """Normalize an e/d control to broadcast against (B, C) predictions.
+
+    Accepts a python/traced scalar (one value for the whole batch — the
+    reference's only mode, modules.py:58-63,113) or a (B,)/(B, 1) per-item
+    array (serving extension: items with different controls can share one
+    device batch). Controls are pure multiplications, so they stay TRACED
+    jit arguments — new control values never trigger a recompile."""
+    if isinstance(c, (int, float)):
+        return c
+    c = jnp.asarray(c)
+    return c[:, None] if c.ndim == 1 else c
+
+
 class VarianceAdaptor(nn.Module):
     hidden: int = 256
     n_bins: int = 256
@@ -80,13 +94,15 @@ class VarianceAdaptor(nn.Module):
         energy_target=None,              # (B, C) or None
         kurtosis_target=None,
         duration_target=None,            # (B, C) int or None
-        e_control: float = 1.0,
-        d_control: float = 1.0,
+        e_control=1.0,                   # scalar or per-item (B,) array
+        d_control=1.0,                   # scalar or per-item (B,) array
         deterministic: bool = True,
         max_mel_len: int | None = None,  # static output frame length
     ):
         if max_mel_len is None:
             max_mel_len = self.max_mel_len
+        e_control = _control_column(e_control)
+        d_control = _control_column(d_control)
         log_duration_prediction = self.duration_predictor(x, src_pad_mask, deterministic)
 
         energy_prediction = None

@@ -161,8 +161,8 @@ class VTTS(nn.Module):
         kurtosis_targets: Optional[jnp.ndarray] = None,
         duration_targets: Optional[jnp.ndarray] = None,
         use_image: bool = True,
-        e_control: float = 1.0,
-        d_control: float = 1.0,
+        e_control=1.0,                    # scalar or per-item (B,) array
+        d_control=1.0,                    # scalar or per-item (B,) array
         deterministic: bool = True,
         max_mel_len: int | None = None,
     ):

@@ -11,12 +11,17 @@ headline is measured on).
 
 Design:
   * handler threads enqueue requests and wait on per-request events;
-  * ONE worker thread drains the queue, groups compatible requests
-    (same e/d controls) into batches up to max_batch within a
-    batch_window_ms collection window, and runs the device call —
+  * ONE worker thread drains the queue into batches of up to max_batch
+    within a batch_window_ms collection window and runs the device call —
     keeping all JAX dispatch single-threaded;
-  * requests with distinct controls still work (they form their own
-    groups); oversized texts are rejected with 400.
+  * e/d controls are per-item traced inputs of the fused executable, so
+    requests with different controls share one device batch and any
+    control value reuses the compiled executable (no recompile risk from
+    untrusted input);
+  * a request that fails inside the device call is retried individually so
+    it cannot fail innocent requests batched with it; malformed requests
+    (types, lengths, unknown audiotypes, non-finite numbers) are rejected
+    with 400 at the HTTP edge before reaching the worker.
 
 Endpoints:
     GET  /healthz          -> {"ok": true}
@@ -33,6 +38,7 @@ Endpoints:
 from __future__ import annotations
 
 import base64
+import collections
 import json
 import queue
 import threading
@@ -42,6 +48,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 MAX_TEXT_LEN = 64
+LATENCY_WINDOW = 1000      # latency samples kept for the stats quantiles
 
 
 class _Pending:
@@ -68,7 +75,10 @@ class BatchingServer:
         self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
                       "errors": 0}
-        self._latencies: list[float] = []
+        # bounded: a long-running server must not accumulate one float per
+        # request forever (the quantiles only ever read the last window)
+        self._latencies: collections.deque = collections.deque(
+            maxlen=LATENCY_WINDOW)
 
         server = self
 
@@ -100,6 +110,9 @@ class BatchingServer:
                     req = json.loads(self.rfile.read(n) or b"{}")
                 except Exception as e:  # malformed body
                     return self._send(400, {"error": str(e)})
+                if not isinstance(req, dict):
+                    return self._send(
+                        400, {"error": "request body must be a JSON object"})
                 if self.path == "/v1/synthesize":
                     code, out = server.submit(req)
                     self._send(code, out)
@@ -163,7 +176,7 @@ class BatchingServer:
 
     def snapshot_stats(self) -> dict:
         with self._stats_lock:
-            lat = sorted(self._latencies[-1000:])
+            lat = sorted(self._latencies)
             s = dict(self.stats)
         if lat:
             s["latency_ms_p50"] = round(1e3 * lat[len(lat) // 2], 2)
@@ -172,28 +185,52 @@ class BatchingServer:
             s["batched_requests"] / s["batches"], 2) if s["batches"] else 0.0
         return s
 
-    @staticmethod
-    def _validate(req: dict, audiotypes) -> str | None:
+    def _validate(self, req) -> str | None:
+        """Full type/range validation at the HTTP edge: anything that would
+        raise inside the singleton worker thread must be a 400 here, so a
+        malformed request can neither wedge the worker nor fail the
+        micro-batch it would have joined."""
+        if not isinstance(req, dict):
+            return "each request must be a JSON object"
         text = req.get("text", "")
-        if not text or len(text) > MAX_TEXT_LEN:
-            return f"text must be 1..{MAX_TEXT_LEN} characters"
-        at = req.get("audiotype")
-        if isinstance(at, str) and at not in audiotypes:
-            return f"unknown audiotype {at!r}"
+        if not isinstance(text, str) or not 1 <= len(text) <= MAX_TEXT_LEN:
+            return f"text must be a string of 1..{MAX_TEXT_LEN} characters"
+        if any(c in "{}\n\r" for c in text):
+            return "text must not contain braces or newlines"
+        at = req.get("audiotype", 0)
+        atypes = self.synth.metadata.audiotype_map
+        if isinstance(at, str):
+            if at not in atypes:
+                return f"unknown audiotype {at!r}"
+        elif isinstance(at, int) and not isinstance(at, bool):
+            if not 0 <= at < len(atypes):
+                return f"audiotype id must be 0..{len(atypes) - 1}"
+        else:
+            return "audiotype must be a class name or integer id"
+        if not self.synth.use_image:
+            # the text path synthesizes from token ids: OOV is a hard error
+            missing = sorted({c for c in text
+                              if c not in self.synth.symbol_map})
+            if missing:
+                return f"characters not in the vocabulary: {missing[:5]}"
         wr = req.get("width_rates")
-        if wr is not None and len(wr) != len(text):
-            return "width_rates length must match text"
+        if wr is not None:
+            if not isinstance(wr, list) or not all(
+                    isinstance(x, (int, float)) and not isinstance(x, bool)
+                    and np.isfinite(x) for x in wr):
+                return "width_rates must be a list of finite numbers"
+            if len(wr) != len(text):
+                return "width_rates length must match text"
         for key in ("e_control", "d_control"):
             v = req.get(key, 1.0)
-            # reject non-numeric controls here: they would otherwise raise
-            # inside the singleton worker thread and wedge the server
-            if not isinstance(v, (int, float)) or not np.isfinite(v):
+            if (not isinstance(v, (int, float)) or isinstance(v, bool)
+                    or not np.isfinite(v)):
                 return f"{key} must be a finite number"
         return None
 
     def submit(self, req: dict) -> tuple[int, dict]:
         """Queue one request for micro-batching; blocks until served."""
-        err = self._validate(req, self.synth.metadata.audiotype_map)
+        err = self._validate(req)
         if err:
             return 400, {"error": err}
         p = _Pending(req)
@@ -208,12 +245,12 @@ class BatchingServer:
             return 500, {"error": p.error}
         return 200, p.result
 
-    def run_batch(self, items: list[dict]) -> tuple[int, dict]:
+    def run_batch(self, items) -> tuple[int, dict]:
         """Explicit batch: one device call for the whole list."""
-        if not items:
+        if not isinstance(items, list) or not items:
             return 400, {"error": "items must be a non-empty list"}
         for it in items:
-            err = self._validate(it, self.synth.metadata.audiotype_map)
+            err = self._validate(it)
             if err:
                 return 400, {"error": err}
         pend = [_Pending(it) for it in items]
@@ -230,11 +267,6 @@ class BatchingServer:
         return 200, {"items": [p.result for p in pend]}
 
     # -------------------------------------------------------------- worker
-    @staticmethod
-    def _group_key(req: dict):
-        return (float(req.get("e_control", 1.0)),
-                float(req.get("d_control", 1.0)))
-
     def _work(self) -> None:
         while not self._stop.is_set():
             try:
@@ -244,33 +276,27 @@ class BatchingServer:
             # the worker is a singleton: it must never die, or every queued
             # and future request would block forever on its event
             try:
+                # e/d controls are per-item traced inputs, so ANY mix of
+                # requests shares one device batch — no grouping, no
+                # re-queueing, no starvation of minority control values
                 group = [first]
-                key = self._group_key(first.req)
                 deadline = time.perf_counter() + self.window_s
-                stash = []
                 while len(group) < self.max_batch:
                     left = deadline - time.perf_counter()
                     if left <= 0:
                         break
                     try:
-                        p = self._q.get(timeout=left)
+                        group.append(self._q.get(timeout=left))
                     except queue.Empty:
                         break
-                    if self._group_key(p.req) == key:
-                        group.append(p)
-                    else:
-                        stash.append(p)   # different controls: next batch
-                for p in stash:
-                    self._q.put(p)
-                self._serve_group(group, key)
+                self._serve_group(group)
             except Exception as e:  # pragma: no cover - defensive
                 first.error = f"{type(e).__name__}: {e}"
                 first.event.set()
 
-    def _serve_group(self, group: list[_Pending], key) -> None:
+    def _serve_group(self, group: list[_Pending]) -> None:
         from visual_onoma_to_wave_tpu.data.audio_io import wav_bytes
 
-        e_control, d_control = key
         sr = self.synth.config.audio.sampling_rate
         hop = self.synth.config.audio.stft.hop_length
         try:
@@ -280,24 +306,34 @@ class BatchingServer:
                 [p.req["text"] for p in group],
                 [p.req.get("audiotype", 0) for p in group],
                 width_rates=[p.req.get("width_rates") for p in group],
-                e_control=e_control, d_control=d_control, return_mel=False)
-            for p, r in zip(group, results):
-                out = {
-                    "sample_rate": sr,
-                    "mel_frames": int(r.mel_len),
-                    "durations": [int(d) for d in r.durations],
-                    "seconds": float(r.mel_len * hop / sr),
-                    "wav_b64": (base64.b64encode(
-                        wav_bytes(np.asarray(r.wav), sr)).decode()
-                        if r.wav is not None else None),
-                }
-                p.result = out
-        except Exception as e:  # surface device errors to every waiter
-            for p in group:
-                p.error = f"{type(e).__name__}: {e}"
-        finally:
-            with self._stats_lock:
-                self.stats["batches"] += 1
-                self.stats["batched_requests"] += len(group)
-            for p in group:
-                p.event.set()
+                e_control=[float(p.req.get("e_control", 1.0)) for p in group],
+                d_control=[float(p.req.get("d_control", 1.0)) for p in group],
+                return_mel=False)
+        except Exception as e:
+            if len(group) > 1:
+                # isolate the fault: retry items individually so one bad
+                # request cannot fail the innocent requests batched with it
+                for p in group:
+                    self._serve_group([p])
+                return
+            group[0].error = f"{type(e).__name__}: {e}"
+            self._finish(group)
+            return
+        for p, r in zip(group, results):
+            p.result = {
+                "sample_rate": sr,
+                "mel_frames": int(r.mel_len),
+                "durations": [int(d) for d in r.durations],
+                "seconds": float(r.mel_len * hop / sr),
+                "wav_b64": (base64.b64encode(
+                    wav_bytes(np.asarray(r.wav), sr)).decode()
+                    if r.wav is not None else None),
+            }
+        self._finish(group)
+
+    def _finish(self, group: list[_Pending]) -> None:
+        with self._stats_lock:
+            self.stats["batches"] += 1
+            self.stats["batched_requests"] += len(group)
+        for p in group:
+            p.event.set()

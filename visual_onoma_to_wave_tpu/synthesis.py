@@ -173,14 +173,17 @@ class Synthesizer:
 
         # with a vocoder configured, acoustic + vocoder run as ONE dispatch
         # (same fused executable as the serving path — halves the interactive
-        # demo's per-request device round-trips)
+        # demo's per-request device round-trips). Controls go in as (1,)
+        # traced arrays, matching the batch path's executable signature.
+        e_ctl = jnp.asarray([e_control], jnp.float32)
+        d_ctl = jnp.asarray([d_control], jnp.float32)
         if self.vocoder_params is not None:
             out = self._get_fused_step()(
                 self.state, self.vocoder_params, batch,
-                e_control=e_control, d_control=d_control)
+                e_control=e_ctl, d_control=d_ctl)
         else:
             out = self._synth_step(self.state, batch,
-                                   e_control=e_control, d_control=d_control)
+                                   e_control=e_ctl, d_control=d_ctl)
         mel_len = int(out["mel_lens"][0])
         mel = np.asarray(out["postnet_mel"][0])[:max(mel_len, 1)]
         durations = np.asarray(out["duration_rounded"][0][:n]).astype(np.int32)
@@ -219,9 +222,11 @@ class Synthesizer:
         is_melgan = isinstance(gen, MelGANGenerator)
         model, use_image = self.model, self.use_image
 
-        @functools.partial(jax.jit, static_argnames=("e_control", "d_control"))
+        # e/d controls are TRACED (scalar or per-item (B,) array): any mix of
+        # client control values shares one executable AND one device batch
+        @jax.jit
         def fused(state, vocoder_params, batch,
-                  e_control: float = 1.0, d_control: float = 1.0):
+                  e_control=1.0, d_control=1.0):
             out = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 audiotypes=batch["audiotypes"], texts=batch["texts"],
@@ -259,14 +264,18 @@ class Synthesizer:
         texts: Sequence[str],
         audiotypes: Sequence[str | int],
         width_rates: Optional[Sequence[Optional[Sequence[float]]]] = None,
-        e_control: float = 1.0,
-        d_control: float = 1.0,
+        e_control: float | Sequence[float] = 1.0,
+        d_control: float | Sequence[float] = 1.0,
         return_mel: bool = True,
     ) -> list[SynthesisResult]:
         """Batched text -> waveform: acoustic forward + vocoder fused into
         ONE device dispatch for the whole batch (the serving-throughput path
         behind bench.py's headline metric). Batch and text lengths are
         bucketed so repeated calls reuse compiled executables.
+
+        e_control/d_control may be scalars or per-item sequences — controls
+        are traced (B,) inputs of the executable, so any mix of values shares
+        one compiled executable and one device batch.
 
         return_mel=False skips downloading the (B, T, n_mels) mel batch from
         the device (results carry mel=None but mel_len is always set) — the
@@ -309,13 +318,20 @@ class Synthesizer:
         if self.use_image:
             batch["image_cells"] = jnp.asarray(cells)
 
+        # controls as (b_pad,) arrays: scalar or per-item, ONE executable
+        def _ctl(c):
+            col = np.ones((b_pad,), np.float32)
+            col[:bsz] = np.asarray(c, np.float32)  # scalar broadcasts
+            return jnp.asarray(col)
+
+        e_ctl, d_ctl = _ctl(e_control), _ctl(d_control)
         if self.vocoder_params is not None:
             out = self._get_fused_step()(
                 self.state, self.vocoder_params, batch,
-                e_control=e_control, d_control=d_control)
+                e_control=e_ctl, d_control=d_ctl)
         else:
             out = self._synth_step(self.state, batch,
-                                   e_control=e_control, d_control=d_control)
+                                   e_control=e_ctl, d_control=d_ctl)
         mel_lens = np.asarray(out["mel_lens"])[:bsz].astype(int)
         durs = np.asarray(out["duration_rounded"])[:bsz].astype(np.int32)
         energies = (np.asarray(out["energy_pred"])[:bsz]

@@ -138,9 +138,12 @@ def make_eval_step(model, use_image: bool = True) -> Callable:
 def make_synth_step(model, use_image: bool = True) -> Callable:
     """Inference forward (no targets): predicted durations drive the LR."""
 
-    @functools.partial(jax.jit, static_argnames=("e_control", "d_control"))
+    # e/d controls are TRACED args (pure multiplications in the variance
+    # adaptor) — new control values reuse the compiled executable instead of
+    # triggering a recompile + one-time upload per value
+    @jax.jit
     def synth_step(state: TrainState, batch: dict,
-                   e_control: float = 1.0, d_control: float = 1.0):
+                   e_control=1.0, d_control=1.0):
         return model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             audiotypes=batch["audiotypes"],

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import json
 import pathlib
 import time
 from typing import Any, Iterable, Sequence
@@ -382,12 +383,18 @@ class VocoderTrainer:
         d = self.ckpt_dir / f"{step}"
         save_params(d / "generator", jax.device_get(self.state.gen_params))
         save_params(d / "full_state", jax.device_get(self.state))
+        # the host-side sampler RNG is part of the training state: without
+        # it a resumed run would REPLAY the segment stream from the seed
+        (d / "sampler_state.json").write_text(
+            json.dumps(self.sampler.rng.bit_generator.state))
 
     def restore(self, step: int | None = None) -> int:
         """Resume from <ckpt>/<step>/full_state (latest step if None).
 
-        Restores generator, discriminators, both Adam states and the
-        schedule position. Returns the restored step.
+        Restores generator, discriminators, both Adam states, the schedule
+        position and the sampler's RNG stream position (so resumed training
+        sees the segments an uninterrupted run would have). Returns the
+        restored step.
         """
         if self.ckpt_dir is None:
             raise ValueError("no ckpt_dir configured")
@@ -400,6 +407,10 @@ class VocoderTrainer:
             step = steps[-1]
         self.state = load_params(self.ckpt_dir / f"{step}" / "full_state",
                                  template=jax.device_get(self.state))
+        sampler_state = self.ckpt_dir / f"{step}" / "sampler_state.json"
+        if sampler_state.exists():
+            self.sampler.rng.bit_generator.state = json.loads(
+                sampler_state.read_text())
         return int(self.state.step)
 
     def train(self, steps: int | None = None) -> GANTrainState:
