@@ -1,0 +1,249 @@
+"""Build the committed demo checkpoints (examples/checkpoints/demo/).
+
+The reference ships pretrained weights via `setup.sh` downloads
+(reference setup.sh:1-5 — both blobs are stripped here, and the RWCP-SSD
+corpus is not distributable), so this framework trains its OWN demo
+artifacts end-to-end on a synthetic onomatopoeia corpus with a real
+char -> timbre correspondence:
+
+  * every katakana character maps to a fixed chromatic pitch
+    (220 Hz * 2^(k/12)); the audiotype class controls the envelope/timbre
+    (drum = damped noise-burst strike, bell = slow-decay harmonic stack);
+  * per-character segment durations vary per clip, so the visual widths
+    (character width ∝ duration — the paper's core conditioning) carry
+    real information;
+  * glyphs come from the renderer's deterministic procedural fallback
+    (no CJK font is installed; see data/renderer.py).
+
+Pipeline: corpus -> cli format -> prepare-tg -> preprocess -> cli train
+(small acoustic model) + VocoderTrainer (small HiFi-GAN) -> export
+{config.json, preprocessed metadata, acoustic/, vocoder/} + a smoke-test
+sample. The committed artifacts make `cli demo` / `cli synthesize` /
+`cli serve` work out of the box:
+
+    python -m visual_onoma_to_wave_tpu.cli demo \
+        examples/checkpoints/demo/config.json \
+        --acoustic examples/checkpoints/demo/acoustic \
+        --vocoder  examples/checkpoints/demo/vocoder
+
+Rebuild (≈20-30 min on one TPU chip, also runs on CPU):
+    python examples/train_demo_artifacts.py --steps 3000 --voc-steps 2000
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import shutil
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+SR_RAW = 48000
+KATAKANA = "パンドトカバチリコウシポ"
+CLASSES = ("drum", "bell")
+
+# demo model: small but real (the full ICASSP config is 34.3 M params;
+# this is ~2.5 M so the committed blobs stay ~10 MB)
+DEMO_MODEL = {
+    "transformer": {"encoder_layer": 2, "decoder_layer": 2,
+                    "encoder_head": 2, "decoder_head": 2,
+                    "encoder_hidden": 128, "decoder_hidden": 128,
+                    "conv_filter_size": 512, "conv_kernel_size": [9, 1]},
+    "visual_feature_extractor": {"layer_num": 2},
+    "max_seq_len": 512,
+    "postnet_channels": 128,
+    "vocoder_kwargs": {"upsample_initial_channel": 128},
+}
+
+
+def _pitch(ch: str) -> float:
+    return 220.0 * 2.0 ** ((ord(ch) * 7) % 12 / 12.0)
+
+
+def _char_tone(cls: str, f: float, n: int, rng) -> np.ndarray:
+    t = np.arange(n) / SR_RAW
+    if cls == "drum":
+        env = np.exp(-t * 18.0)
+        tone = np.sin(2 * np.pi * f * t)
+        noise = rng.normal(0, 0.25, n) * np.exp(-t * 60.0)
+        out = (0.6 * tone + noise) * env
+    else:  # bell: harmonic stack, slow decay
+        env = np.exp(-t * 6.0)
+        out = env * sum(a * np.sin(2 * np.pi * f * h * t)
+                        for a, h in ((0.6, 1.0), (0.25, 2.76), (0.15, 5.40)))
+    return (0.7 * out).astype(np.float32)
+
+
+def synth_clip(rng, text: str, cls: str):
+    """48 kHz clip + julius-style .lab lines; per-char durations vary."""
+    lead = tail = 0.10
+    durs = rng.uniform(0.12, 0.28, len(text))
+    total = lead + float(durs.sum()) + tail
+    wav = np.zeros(int(total * SR_RAW), np.float32)
+    lab = [f"0.0000 {lead:.4f} silB"]
+    cur = lead
+    for ch, d in zip(text, durs):
+        i0 = int(cur * SR_RAW)
+        n = int(d * SR_RAW)
+        wav[i0:i0 + n] += _char_tone(cls, _pitch(ch), n, rng)
+        lab.append(f"{cur:.4f} {cur + d:.4f} {ch}")
+        cur += float(d)
+    lab.append(f"{cur:.4f} {total:.4f} silE")
+    return np.clip(wav, -1, 1), lab
+
+
+def build_corpus(root: pathlib.Path, n_per_class: int, seed: int = 0):
+    raw_root = root / "RWCP-SSD"
+    ono_root = root / "onoma"
+    rng = np.random.default_rng(seed)
+    for cls in CLASSES:
+        (raw_root / cls / "48khz").mkdir(parents=True, exist_ok=True)
+        od = ono_root / "nospeech" / "demo" / cls
+        od.mkdir(parents=True, exist_ok=True)
+        for k in range(n_per_class):
+            n_chars = int(rng.integers(2, 6))
+            text = "".join(rng.choice(list(KATAKANA), n_chars))
+            wav, lab = synth_clip(rng, text, cls)
+            clip = f"c1_{cls}_{k:03d}_0980"
+            (raw_root / cls / "48khz" / f"{clip}.raw").write_bytes(
+                (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes())
+            (od / f"{clip}.ono").write_text(f"w1,{text},5.0\n")
+            (od / f"{clip}.acc").write_text("w1,w2,4.0\nw1,w3,5.0\n")
+            (od / f"{clip}_w1.lab").write_text("\n".join(lab) + "\n")
+    return raw_root, ono_root
+
+
+def work_config(root: pathlib.Path, ono_root, steps: int) -> dict:
+    return {
+        "path": {
+            "corpus": str(ono_root),
+            "formatted": str(root / "formatted"),
+            "preprocessed": str(root / "preprocessed"),
+            "font": "",
+            "ckpt": str(root / "out" / "ckpt"),
+            "log": str(root / "out" / "log"),
+            "result": str(root / "out" / "result"),
+        },
+        "dataset": {"extract_labels": list(CLASSES), "valtest_id": [13, 33],
+                    "confidence_score_border": 3.0,
+                    "acceptance_score_border": 2.5},
+        "model": DEMO_MODEL,
+        "train": {
+            "optimizer": {"batch_size": 16, "warm_up_step": 400},
+            "step": {"total_step": steps, "log_step": 200,
+                     "synth_step": 10**9, "val_step": max(500, steps // 4),
+                     "save_step": steps},
+            "max_mel_len": 512, "seed": 0,
+        },
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--voc-steps", type=int, default=2000)
+    ap.add_argument("--n-per-class", type=int, default=60)
+    ap.add_argument("--work", default="/tmp/demo_build")
+    ap.add_argument("--out", default=str(
+        pathlib.Path(__file__).resolve().parent / "checkpoints" / "demo"))
+    args = ap.parse_args()
+
+    from visual_onoma_to_wave_tpu.cli import main as cli_main
+
+    work = pathlib.Path(args.work)
+    shutil.rmtree(work, ignore_errors=True)
+    work.mkdir(parents=True)
+    raw_root, ono_root = build_corpus(work, args.n_per_class)
+    cfg = work_config(work, ono_root, args.steps)
+    cfg_path = work / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg, indent=1))
+
+    print("== format / prepare-tg / preprocess ==", flush=True)
+    assert cli_main(["format", str(cfg_path), str(raw_root)]) in (0, None)
+    assert cli_main(["prepare-tg", str(cfg_path)]) in (0, None)
+    assert cli_main(["preprocess", str(cfg_path)]) in (0, None)
+
+    print("== train acoustic ==", flush=True)
+    assert cli_main(["train", str(cfg_path)]) in (0, None)
+
+    print("== train vocoder ==", flush=True)
+    from visual_onoma_to_wave_tpu.models.hifigan import HiFiGANGenerator
+    from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
+        VocoderTrainConfig, VocoderTrainer, load_wav_dir)
+    vcfg = VocoderTrainConfig(total_steps=args.voc_steps, batch_size=16,
+                              save_every=10**9, log_every=200)
+    clips = load_wav_dir(work / "formatted" / "audio",
+                         target_sr=vcfg.sampling_rate)
+    gen = HiFiGANGenerator(**{k: tuple(v) if isinstance(v, list) else v
+                              for k, v in DEMO_MODEL["vocoder_kwargs"].items()})
+    vt = VocoderTrainer(clips, vcfg, gen=gen,
+                        ckpt_dir=work / "out" / "voc_ckpt")
+    vt.train()
+
+    print("== export ==", flush=True)
+    import jax
+    from visual_onoma_to_wave_tpu.utils.checkpoint import (
+        CheckpointManager, save_params)
+    out = pathlib.Path(args.out)
+    shutil.rmtree(out, ignore_errors=True)
+    (out / "preprocessed").mkdir(parents=True)
+    pre = work / "preprocessed"
+    for f in ("audiotype.json", "stats.json", "visual_text.json",
+              "label_width.json", "symbols.json",
+              "train.txt", "val.txt", "test.txt"):
+        if (pre / f).exists():
+            shutil.copy(pre / f, out / "preprocessed" / f)
+
+    mgr = CheckpointManager(cfg["path"]["ckpt"])
+    try:
+        tree = mgr.restore_raw(None)
+    finally:
+        mgr.close()
+    save_params(out / "acoustic", {"params": tree["params"],
+                                   "batch_stats": tree.get("batch_stats", {})})
+    save_params(out / "vocoder", jax.device_get(vt.state.gen_params))
+
+    demo_cfg = dict(cfg)
+    # keep the committed config portable: paths relative to the repo root
+    # (the documented commands run from there) when the output lives inside
+    # the repo, else absolute
+    try:
+        pre_path = str((out / "preprocessed").relative_to(
+            pathlib.Path(__file__).resolve().parents[1]))
+    except ValueError:
+        pre_path = str(out / "preprocessed")
+    demo_cfg["path"] = {
+        "corpus": "", "formatted": "",
+        "preprocessed": pre_path,
+        "font": "",
+        "ckpt": "/tmp/vow_demo/ckpt", "log": "/tmp/vow_demo/log",
+        "result": "/tmp/vow_demo/result",
+    }
+    (out / "config.json").write_text(json.dumps(demo_cfg, indent=1))
+
+    # smoke-test through the standalone serving entry + write a sample
+    from visual_onoma_to_wave_tpu.cli import load_config
+    from visual_onoma_to_wave_tpu.data.audio_io import write_wav
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+    synth = Synthesizer.from_checkpoint(
+        load_config(str(out / "config.json")),
+        acoustic=str(out / "acoustic"), vocoder=str(out / "vocoder"))
+    res = synth.synthesize("パンパン", CLASSES[0])
+    if res.wav is None:
+        # only an undertrained (smoke-run) model predicts 0 frames
+        print(f"demo artifacts in {out} (model predicts 0 frames — "
+              f"undertrained smoke build, no sample.wav)")
+        return 0
+    assert np.isfinite(res.wav).all()
+    write_wav(out / "sample.wav", res.wav,
+              synth.config.audio.sampling_rate)
+    print(f"demo artifacts in {out} (sample: {res.mel_len} mel frames, "
+          f"{res.wav.shape[0] / synth.config.audio.sampling_rate:.2f}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -117,3 +117,27 @@ def test_renderer_geometry(tmp_path):
     assert widths.sum() == img.width
     arr = r.draw_with_width_rates("パン", [1.0, 0.5], cell_width=102)
     assert arr.shape == (24, 204)
+
+
+def test_renderer_procedural_glyphs_distinct_and_deterministic():
+    """With no CJK font installed, distinct katakana must still render as
+    DISTINCT (and reproducible) glyphs — the paper's conditioning signal is
+    glyph identity (the reference's ipaexg.ttf is a stripped blob, and
+    PIL's default font renders all CJK as one tofu box)."""
+    from visual_onoma_to_wave_tpu.data.renderer import (
+        VisualTextRenderer, _has_glyph)
+
+    assert _has_glyph("", 24, "A")          # latin: real glyph
+    assert not _has_glyph("", 24, "パ")     # katakana: fallback engages
+    r = VisualTextRenderer(fontsize=24)
+    text = "パンドトカ"
+    arr = r.draw_with_width_rates(text, [1.0] * len(text))
+    cells = arr.reshape(24, len(text), 102)
+    sigs = {cells[:, i, :].tobytes() for i in range(len(text))}
+    assert len(sigs) == len(text), "glyphs must be distinct per character"
+    # same char -> same glyph, across calls and positions
+    arr2 = r.draw_with_width_rates(text, [1.0] * len(text))
+    np.testing.assert_array_equal(arr, arr2)
+    rep = r.draw_with_width_rates("パパ", [1.0, 1.0])
+    c = rep.reshape(24, 2, 102)
+    np.testing.assert_array_equal(c[:, 0, :], c[:, 1, :])

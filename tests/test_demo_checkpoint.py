@@ -1,0 +1,65 @@
+"""Committed demo checkpoints (examples/checkpoints/demo) load and serve.
+
+The reference distributes pretrained weights via setup.sh downloads (both
+blobs stripped here); this framework commits its own small artifacts
+trained by examples/train_demo_artifacts.py on a synthetic corpus. This
+test is the out-of-the-box guarantee: a fresh clone synthesizes audio
+with no training, network, or font.
+"""
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+DEMO = pathlib.Path(__file__).resolve().parents[1] / (
+    "examples/checkpoints/demo")
+
+pytestmark = pytest.mark.skipif(
+    not (DEMO / "config.json").exists(),
+    reason="demo checkpoints not built (examples/train_demo_artifacts.py)")
+
+
+@pytest.fixture(scope="module")
+def synth():
+    from visual_onoma_to_wave_tpu.cli import load_config
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+
+    cfg = load_config(str(DEMO / "config.json"))
+    # the committed config carries an absolute build-time path; point it at
+    # the checked-out location
+    cfg = cfg.replace(path=cfg.path.__class__(
+        corpus="", formatted="", preprocessed=str(DEMO / "preprocessed"),
+        font="", ckpt="/tmp/vow_demo_t/ckpt", log="/tmp/vow_demo_t/log",
+        result="/tmp/vow_demo_t/result"))
+    return Synthesizer.from_checkpoint(
+        cfg, acoustic=str(DEMO / "acoustic"), vocoder=str(DEMO / "vocoder"))
+
+
+def test_demo_checkpoint_synthesizes(synth):
+    meta = json.loads((DEMO / "preprocessed" / "audiotype.json").read_text())
+    cls = next(iter(meta))
+    res = synth.synthesize("パンパン", cls)
+    assert res.wav is not None and res.mel_len >= 4
+    assert np.isfinite(res.wav).all()
+    assert res.wav.shape[0] == res.mel_len * 256
+    # a trained model emits non-silent audio
+    assert float(np.abs(res.wav).max()) > 1e-3
+
+
+def test_demo_checkpoint_duration_control(synth):
+    meta = json.loads((DEMO / "preprocessed" / "audiotype.json").read_text())
+    cls = next(iter(meta))
+    short = synth.synthesize("パンパン", cls, d_control=0.7)
+    long = synth.synthesize("パンパン", cls, d_control=1.5)
+    assert long.mel_len > short.mel_len
+
+
+def test_demo_checkpoint_batch_serving(synth):
+    meta = json.loads((DEMO / "preprocessed" / "audiotype.json").read_text())
+    classes = list(meta)
+    res = synth.synthesize_batch(
+        ["パン", "ドドド"], [classes[0], classes[-1]], return_mel=False)
+    for r in res:
+        assert r.wav is not None and np.isfinite(r.wav).all()
+        assert r.wav.shape[0] == r.mel_len * 256

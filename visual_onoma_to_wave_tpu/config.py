@@ -129,6 +129,12 @@ class ModelConfig:
     max_seq_len: int = 1000
     vocoder_model: str = "HiFi-GAN"
     vocoder_speaker: str = "universal"
+    # PostNet conv width; the reference hardcodes 512 (Layers.py:75) — kept
+    # configurable for reduced-size deployments (demo checkpoints)
+    postnet_channels: int = 512
+    # generator architecture overrides (e.g. upsample_initial_channel) for
+    # self-trained reduced-size vocoders; {} = the family's published arch
+    vocoder_kwargs: dict = field(default_factory=dict)
 
 
 @dataclass(frozen=True)
@@ -199,6 +205,10 @@ class Config:
 def _tupleize(value: Any) -> Any:
     if isinstance(value, list):
         return tuple(_tupleize(v) for v in value)
+    if isinstance(value, dict):
+        # e.g. vocoder_kwargs: nested lists (upsample_rates) must become
+        # tuples — they end up as hashable flax module fields
+        return {k: _tupleize(v) for k, v in value.items()}
     return value
 
 

@@ -11,6 +11,15 @@ The font is configurable; when the configured TTF is unavailable (the
 reference's ipaexg.ttf is a stripped blob) we fall back to PIL's default
 bitmap font scaled to the requested size, keeping geometry identical
 (canvas/cell widths depend only on the allocation math, not the glyphs).
+
+Glyph-identity fallback: the default bitmap font has NO katakana — every
+CJK character renders as the same .notdef tofu box, which would collapse
+the paper's central conditioning signal ("glyph identity = timbre cue",
+SURVEY/What-the-system-IS). Characters the active font cannot render are
+therefore drawn as deterministic per-codepoint stroke patterns: not
+typography, but a stable visual signature distinct per character, the
+same across runs and hosts, so the visual feature extractor can still
+learn character identity with no CJK font installed.
 """
 from __future__ import annotations
 
@@ -30,6 +39,50 @@ def _load_font(font_path: str, fontsize: int):
             return ImageFont.load_default(size=fontsize)
         except TypeError:  # older PIL without size kwarg
             return ImageFont.load_default()
+
+
+def _glyph_mask(font, ch: str, size: int) -> np.ndarray:
+    im = Image.new("L", (size, size), 0)
+    ImageDraw.Draw(im).text((0, 0), ch, fill=255, font=font)
+    return np.asarray(im)
+
+
+@lru_cache(maxsize=4096)
+def _has_glyph(font_path: str, fontsize: int, ch: str) -> bool:
+    """True when the font has a real glyph for ch — i.e. it does not render
+    as the same bitmap as a guaranteed-unmapped private-use codepoint."""
+    font = _load_font(font_path, fontsize)
+    return not np.array_equal(_glyph_mask(font, ch, fontsize),
+                              _glyph_mask(font, "", fontsize))
+
+
+def _draw_procedural_glyph(draw: "ImageDraw.ImageDraw", ch: str,
+                           fontsize: int, fg) -> None:
+    """Deterministic per-codepoint stroke pattern for characters the font
+    cannot render. Seeded by ord(ch): the same character always gets the
+    same strokes, distinct characters get (near-certainly) distinct ones."""
+    rng = np.random.default_rng(ord(ch))
+    s = fontsize
+    pad = max(2, s // 8)
+    w = max(1, s // 10)
+    pts = rng.integers(pad, max(pad + 1, s - pad), (4, 2))
+    for i in range(3):
+        draw.line([tuple(pts[i]), tuple(pts[i + 1])], fill=fg, width=w)
+    cx, cy = rng.integers(pad, max(pad + 1, s - pad), 2)
+    r = int(rng.integers(2, max(3, s // 4)))
+    draw.ellipse([cx - r, cy - r, cx + r, cy + r], outline=fg,
+                 width=max(1, s // 12))
+
+
+def _draw_char_cell(bg, fg, font_path: str, fontsize: int, ch: str):
+    """fontsize-square RGB cell with ch's glyph (font or procedural)."""
+    cell = Image.new("RGB", (fontsize, fontsize), bg)
+    d = ImageDraw.Draw(cell)
+    if _has_glyph(font_path, fontsize, ch):
+        d.text((0, 0), ch, fill=fg, font=_load_font(font_path, fontsize))
+    else:
+        _draw_procedural_glyph(d, ch, fontsize, fg)
+    return cell
 
 
 def allocate_character_widths(text_len: int, canvas_width: int) -> np.ndarray:
@@ -82,14 +135,13 @@ class VisualTextRenderer:
         save_image: str | pathlib.Path | None = None,
         save_width: str | pathlib.Path | None = None,
     ) -> tuple[Image.Image, np.ndarray]:
-        font = _load_font(self.font_path, self.fontsize)
         width = self.canvas_width(text, wav_sec)
         canvas = Image.new("RGB", (width, self.fontsize), self.bg)
         char_widths = allocate_character_widths(len(text), width)
         x = 0
         for ch, w in zip(text, char_widths):
-            cell = Image.new("RGB", (self.fontsize, self.fontsize), self.bg)
-            ImageDraw.Draw(cell).text((0, 0), ch, fill=self.fg, font=font)
+            cell = _draw_char_cell(self.bg, self.fg, self.font_path,
+                                   self.fontsize, ch)
             if self.stretching:
                 cell = cell.resize((int(w), self.fontsize))
             canvas.paste(cell, (x, 0))
@@ -111,11 +163,10 @@ class VisualTextRenderer:
         fontsize * width_rates[i] wide and centered in its cell.
 
         Returns a (fontsize, len(text)*cell_width) uint8 array (or RGB)."""
-        font = _load_font(self.font_path, self.fontsize)
         canvas = Image.new("RGB", (cell_width * len(text), self.fontsize), self.bg)
         for i, (ch, rate) in enumerate(zip(text, width_rates)):
-            cell = Image.new("RGB", (self.fontsize, self.fontsize), self.bg)
-            ImageDraw.Draw(cell).text((0, 0), ch, fill=self.fg, font=font)
+            cell = _draw_char_cell(self.bg, self.fg, self.font_path,
+                                   self.fontsize, ch)
             w = max(1, int(round(self.fontsize * rate)))
             cell = cell.resize((w, self.fontsize))
             off = i * cell_width + (cell_width - w) // 2 + (cell_width - w) % 2

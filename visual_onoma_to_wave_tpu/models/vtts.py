@@ -96,6 +96,10 @@ class VTTS(nn.Module):
     energy_stats: tuple[float, float, float, float] = (-1.0, 1.0, 0.0, 1.0)
     kurtosis_stats: tuple[float, float, float, float] = (-1.0, 1.0, 0.0, 1.0)
     multi_audiotype: bool = True
+    # PostNet conv width (reference hardcodes 512, Layers.py:75; kept
+    # configurable for small deployments — the PostNet dominates the
+    # parameter count of reduced-size models)
+    postnet_dim: int = 512
     # compute precision for the FFT stacks + PostNet (params, LayerNorm,
     # softmax, variance predictors and the mel head stay f32)
     dtype: jnp.dtype = jnp.float32
@@ -133,6 +137,7 @@ class VTTS(nn.Module):
             energy_quantization=m.variance_embedding.energy_quantization,
             kurtosis_quantization=m.variance_embedding.kurtosis_quantization,
             multi_audiotype=m.multi_audiotype,
+            postnet_dim=m.postnet_channels,
             dtype=(jnp.bfloat16
                    if config.train.compute_dtype in ("bfloat16", "bf16")
                    else jnp.float32),
@@ -223,7 +228,8 @@ class VTTS(nn.Module):
 
         mel = nn.Dense(self.n_mels, name="mel_linear")(x.astype(jnp.float32))
         postnet_mel = mel + PostNet(
-            n_mel_channels=self.n_mels, dtype=self.dtype, name="postnet",
+            n_mel_channels=self.n_mels, embedding_dim=self.postnet_dim,
+            dtype=self.dtype, name="postnet",
         )(mel, deterministic)
 
         return {

@@ -213,11 +213,7 @@ class Synthesizer:
             return self._fused_step
         from visual_onoma_to_wave_tpu.models.melgan import (
             LN10, MelGANGenerator)
-        from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
-        gen = self.vocoder
-        if gen is None:
-            gen = get_vocoder(self.config.model.vocoder_model)
-            self.vocoder = gen
+        gen = self._vocoder_module()
         # MelGAN consumes log10 mels (reference utils/model.py:77)
         is_melgan = isinstance(gen, MelGANGenerator)
         model, use_image = self.model, self.use_image
@@ -241,6 +237,16 @@ class Synthesizer:
         self._fused_step = fused
         return fused
 
+    def _vocoder_module(self):
+        """The configured generator module (family + any architecture
+        overrides from config.model.vocoder_kwargs), built once."""
+        if self.vocoder is None:
+            from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
+            self.vocoder = get_vocoder(
+                self.config.model.vocoder_model,
+                **dict(self.config.model.vocoder_kwargs))
+        return self.vocoder
+
     def vocode(self, mels: np.ndarray, mel_lens: Sequence[int]
                ) -> list[np.ndarray]:
         """Standalone mel -> waveform (for externally produced mels): pads
@@ -254,7 +260,7 @@ class Synthesizer:
         t_pad = ((t + self.mel_bucket - 1) // self.mel_bucket) * self.mel_bucket
         mels = np.pad(mels, ((0, 0), (0, t_pad - t), (0, 0)))
         wavs, _ = vocoder_infer(self.vocoder_params, jnp.asarray(mels),
-                                gen=self.vocoder, hop_length=hop,
+                                gen=self._vocoder_module(), hop_length=hop,
                                 model=self.config.model.vocoder_model)
         wavs = np.asarray(wavs)
         return [wavs[i, : mel_lens[i] * hop] for i in range(len(mel_lens))]

@@ -72,16 +72,29 @@ class CheckpointManager:
 
 
 def save_params(path: str | pathlib.Path, params: Any) -> None:
-    """One-shot pytree save (e.g. converted vocoder weights)."""
+    """One-shot pytree save (e.g. converted vocoder weights).
+
+    Arrays are pulled to host first so the checkpoint carries no device /
+    sharding metadata — a params dir written on a TPU host must load on a
+    CPU-only host (the committed demo checkpoints depend on this)."""
     p = pathlib.Path(path).absolute()
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(p, params, force=True)
+    ckptr.save(p, jax.device_get(params), force=True)
     ckptr.wait_until_finished()
 
 
 def load_params(path: str | pathlib.Path, template: Any = None) -> Any:
+    """Restore a one-shot params dir onto the CURRENT platform: the saved
+    sharding metadata is ignored (checkpoints written on another device
+    topology — e.g. the TPU that trained the committed demo artifacts —
+    load fine on this host's default device)."""
     p = pathlib.Path(path).absolute()
     ckptr = ocp.StandardCheckpointer()
     if template is not None:
         return ckptr.restore(p, target=template)
-    return ckptr.restore(p)
+    meta = ckptr.metadata(p).item_metadata.tree
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    abstract = jax.tree.map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+        meta)
+    return ckptr.restore(p, target=abstract)
