@@ -60,7 +60,11 @@ DEMO_MODEL = {
 
 
 def _pitch(ch: str) -> float:
-    return 220.0 * 2.0 ** ((ord(ch) * 7) % 12 / 12.0)
+    """Injective char -> pitch over KATAKANA: each demo character gets its
+    own chromatic step (collisions would silently merge timbres and erase
+    the char -> sound correspondence the demo claims)."""
+    k = KATAKANA.index(ch) if ch in KATAKANA else ord(ch) % 24
+    return 220.0 * 2.0 ** (k / 12.0)
 
 
 def _char_tone(cls: str, f: float, n: int, rng) -> np.ndarray:
@@ -162,12 +166,17 @@ def main() -> int:
     cfg_path.write_text(json.dumps(cfg, indent=1))
 
     print("== format / prepare-tg / preprocess ==", flush=True)
-    assert cli_main(["format", str(cfg_path), str(raw_root)]) in (0, None)
-    assert cli_main(["prepare-tg", str(cfg_path)]) in (0, None)
-    assert cli_main(["preprocess", str(cfg_path)]) in (0, None)
+    for argv in (["format", str(cfg_path), str(raw_root)],
+                 ["prepare-tg", str(cfg_path)],
+                 ["preprocess", str(cfg_path)]):
+        rc = cli_main(argv)
+        if rc not in (0, None):
+            raise RuntimeError(f"cli {argv[0]} failed with rc={rc}")
 
     print("== train acoustic ==", flush=True)
-    assert cli_main(["train", str(cfg_path)]) in (0, None)
+    rc = cli_main(["train", str(cfg_path)])
+    if rc not in (0, None):
+        raise RuntimeError(f"cli train failed with rc={rc}")
 
     print("== train vocoder ==", flush=True)
     from visual_onoma_to_wave_tpu.models.hifigan import HiFiGANGenerator
@@ -184,7 +193,6 @@ def main() -> int:
     vt.train()
 
     print("== export ==", flush=True)
-    import jax
     from visual_onoma_to_wave_tpu.utils.checkpoint import (
         CheckpointManager, save_params)
     out = pathlib.Path(args.out)
@@ -202,9 +210,10 @@ def main() -> int:
         tree = mgr.restore_raw(None)
     finally:
         mgr.close()
+    # save_params pulls arrays to host itself (portable checkpoints)
     save_params(out / "acoustic", {"params": tree["params"],
                                    "batch_stats": tree.get("batch_stats", {})})
-    save_params(out / "vocoder", jax.device_get(vt.state.gen_params))
+    save_params(out / "vocoder", vt.state.gen_params)
 
     demo_cfg = dict(cfg)
     # keep the committed config portable: paths relative to the repo root

@@ -250,12 +250,17 @@ class Trainer:
         ])
         self.train_log.figure(step, "Synth/mel", fig)
         if self.vocoder_params is not None:
-            from visual_onoma_to_wave_tpu.models.vocoder import vocoder_infer
+            from visual_onoma_to_wave_tpu.models.vocoder import (
+                get_vocoder, vocoder_infer)
             import jax.numpy as jnp
             from visual_onoma_to_wave_tpu.data.audio_io import write_wav
             name = batch["names"][0]
             sr = self.config.audio.sampling_rate
             kind = self.config.model.vocoder_model
+            # honor any generator architecture overrides (vocoder_kwargs) —
+            # self-trained reduced-size vocoders differ from the family
+            # default (same resolution as synthesis._vocoder_module)
+            gen = get_vocoder(kind, **dict(self.config.model.vocoder_kwargs))
             # synthesized (predicted durations) + reconstruction from the
             # ground-truth mel — the pair the reference writes per sample
             # (reference utils/tools.py:180-241, evaluate.py:58-103)
@@ -263,7 +268,7 @@ class Trainer:
                            ("reconstruction", batch["mels"][0][:gt_len])):
                 wav, _ = vocoder_infer(self.vocoder_params,
                                        jnp.asarray(np.asarray(m)[None]),
-                                       model=kind)
+                                       gen=gen, model=kind)
                 wav_np = np.asarray(wav[0])
                 self.train_log.audio(step, f"Synth/{tag}", wav_np, sr)
                 write_wav(self.result_dir / "Val" / f"{step}_{name}_{tag}.wav",

@@ -381,8 +381,9 @@ class VocoderTrainer:
             return
         from visual_onoma_to_wave_tpu.utils.checkpoint import save_params
         d = self.ckpt_dir / f"{step}"
-        save_params(d / "generator", jax.device_get(self.state.gen_params))
-        save_params(d / "full_state", jax.device_get(self.state))
+        # save_params pulls arrays to host itself (portable checkpoints)
+        save_params(d / "generator", self.state.gen_params)
+        save_params(d / "full_state", self.state)
         # the host-side sampler RNG is part of the training state: without
         # it a resumed run would REPLAY the segment stream from the seed
         (d / "sampler_state.json").write_text(
