@@ -204,6 +204,78 @@ def test_distinct_controls_share_a_batch(server):
     assert after - before <= 2
 
 
+def test_queue_backpressure_503():
+    """Past max_queue waiting requests the server answers 503 immediately
+    instead of building unbounded latency."""
+    from visual_onoma_to_wave_tpu.serve import BatchingServer, _Pending
+
+    class _NoSynth:  # submit() path only touches validation + the queue
+        class metadata:
+            audiotype_map = {"drum": 0}
+
+        class config:
+            class audio:
+                sampling_rate = 22050
+
+                class stft:
+                    hop_length = 256
+        use_image = True
+        vocoder_params = None
+
+    srv = BatchingServer(_NoSynth(), port=0, max_queue=2)
+    # do NOT start the worker: fill the queue directly
+    srv._q.put_nowait(_Pending({"text": "パ"}))
+    srv._q.put_nowait(_Pending({"text": "パ"}))
+    status, out = srv.submit({"text": "パ", "audiotype": "drum"})
+    assert status == 503 and "overloaded" in out["error"]
+    status, out = srv.run_batch([{"text": "パ", "audiotype": "drum"}])
+    assert status == 503
+    srv._drain_queue()
+    srv.httpd.server_close()
+
+
+def test_stop_fails_queued_requests_instead_of_hanging(tiny_env):  # noqa: F811
+    """stop() must release queued waiters with an error — a client whose
+    request is still in the queue can never be left blocking forever."""
+    import jax
+    import jax.numpy as jnp
+    from visual_onoma_to_wave_tpu.models.hifigan import HiFiGANGenerator
+    from visual_onoma_to_wave_tpu.serve import BatchingServer
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+    from visual_onoma_to_wave_tpu.training.trainer import Trainer
+
+    trainer = Trainer(tiny_env, use_mesh=False)
+    gen = HiFiGANGenerator(upsample_initial_channel=32)
+    gp = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 80), jnp.float32))
+    synth = Synthesizer(tiny_env, trainer.model, trainer.state,
+                        trainer.metadata, trainer.train_ds.symbol_map, gp,
+                        vocoder=gen)
+    srv = BatchingServer(synth, port=0, max_batch=4, batch_window_ms=50.0)
+    srv.start()
+    results = {}
+
+    def fire(i):
+        try:
+            results[i] = _request(srv, "POST", "/v1/synthesize",
+                                  {"text": "パ", "audiotype": "drum"})
+        except Exception as e:  # connection refused/reset around shutdown
+            results[i] = (599, {"error": str(e)})
+
+    threads = [threading.Thread(target=fire, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    srv.stop()
+    for t in threads:
+        t.join(timeout=600)
+        assert not t.is_alive(), "request hung across server stop"
+    # every request either completed (in-flight batch), got a 5xx error,
+    # or saw the connection close — none blocked forever
+    assert len(results) == 3
+    for status, _ in results.values():
+        assert status in (200, 500, 503, 599)
+    trainer.ckpt.close()
+
+
 def test_poisoned_request_isolated_from_batch(server, monkeypatch):
     """A request that fails inside the device call must not fail innocent
     requests micro-batched with it: the worker retries items individually."""

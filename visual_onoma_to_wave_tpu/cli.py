@@ -142,7 +142,8 @@ def cmd_serve(args):
         restore_step=args.restore_step)
     server = BatchingServer(synth, host=args.host, port=args.port,
                             max_batch=args.max_batch,
-                            batch_window_ms=args.window_ms)
+                            batch_window_ms=args.window_ms,
+                            max_queue=args.max_queue)
     server.serve_forever()
 
 
@@ -266,6 +267,8 @@ def main(argv=None):
     s.add_argument("--port", type=int, default=7870)
     s.add_argument("--max-batch", type=int, default=32)
     s.add_argument("--window-ms", type=float, default=5.0)
+    s.add_argument("--max-queue", type=int, default=1024,
+                   help="waiting-request cap; beyond it requests get 503")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser(

@@ -66,11 +66,15 @@ class BatchingServer:
     """Micro-batching HTTP front-end for a `Synthesizer`."""
 
     def __init__(self, synthesizer, host: str = "127.0.0.1", port: int = 0,
-                 max_batch: int = 32, batch_window_ms: float = 5.0):
+                 max_batch: int = 32, batch_window_ms: float = 5.0,
+                 max_queue: int = 1024):
         self.synth = synthesizer
         self.max_batch = int(max_batch)
         self.window_s = float(batch_window_ms) / 1e3
-        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        # bounded queue = backpressure: past max_queue waiting requests the
+        # server answers 503 immediately instead of building unbounded
+        # latency (each queued request also pins a handler thread)
+        self._q: "queue.Queue[_Pending]" = queue.Queue(maxsize=int(max_queue))
         self._stop = threading.Event()
         self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
@@ -155,8 +159,23 @@ class BatchingServer:
 
     def stop(self) -> None:
         self._stop.set()
+        if self._worker.is_alive():
+            # the worker drains still-queued requests with an error on exit
+            # (a queued client must never hang forever); give it a moment
+            self._worker.join(timeout=30.0)
+        self._drain_queue()
         self.httpd.shutdown()
         self.httpd.server_close()
+
+    def _drain_queue(self) -> None:
+        """Fail any still-queued requests so their handler threads return."""
+        while True:
+            try:
+                p = self._q.get_nowait()
+            except queue.Empty:
+                return
+            p.error = "server is shutting down"
+            p.event.set()
 
     # ------------------------------------------------------------ requests
     def meta(self) -> dict:
@@ -233,8 +252,15 @@ class BatchingServer:
         err = self._validate(req)
         if err:
             return 400, {"error": err}
+        if self._stop.is_set():
+            return 503, {"error": "server is shutting down"}
         p = _Pending(req)
-        self._q.put(p)
+        try:
+            self._q.put_nowait(p)
+        except queue.Full:
+            with self._stats_lock:
+                self.stats["errors"] += 1
+            return 503, {"error": "server overloaded (queue full)"}
         p.event.wait()
         with self._stats_lock:
             self.stats["requests"] += 1
@@ -253,9 +279,25 @@ class BatchingServer:
             err = self._validate(it)
             if err:
                 return 400, {"error": err}
+        if self._stop.is_set():
+            return 503, {"error": "server is shutting down"}
         pend = [_Pending(it) for it in items]
+        placed = []
         for p in pend:
-            self._q.put(p)
+            try:
+                self._q.put_nowait(p)
+                placed.append(p)
+            except queue.Full:
+                # fail the whole explicit batch atomically: mark the rest
+                # and wait only for the ones already enqueued
+                for r in pend:
+                    if r not in placed:
+                        r.error = "server overloaded (queue full)"
+                for r in placed:
+                    r.event.wait()
+                with self._stats_lock:
+                    self.stats["errors"] += 1
+                return 503, {"error": "server overloaded (queue full)"}
         for p in pend:
             p.event.wait()
         with self._stats_lock:
@@ -268,6 +310,12 @@ class BatchingServer:
 
     # -------------------------------------------------------------- worker
     def _work(self) -> None:
+        try:
+            self._work_loop()
+        finally:
+            self._drain_queue()
+
+    def _work_loop(self) -> None:
         while not self._stop.is_set():
             try:
                 first = self._q.get(timeout=0.1)
