@@ -123,6 +123,12 @@ def test_type_malformed_requests_get_400(server):
         {"text": "パ", "width_rates": 3},                   # non-list rates
         {"text": "パ", "width_rates": ["a"]},               # non-numeric rate
         {"text": "パ", "width_rates": [True]},              # bool rate
+        {"text": "パ", "width_rates": [1e6]},               # resource DoS:
+        #   fontsize * rate is a PIL image width (measured GBs at 1e6)
+        {"text": "パ", "e_control": 10 ** 400},             # huge JSON int:
+        #   float() overflows, np.isfinite raises — must still be a 400
+        {"text": "パ", "width_rates": [10 ** 400]},
+        {"text": "パ", "d_control": 1000.0},                # out of range
         {"text": "パ{ン"},                                  # brace in text
         {"text": "パ\nン"},                                 # newline in text
         {"text": "パ", "audiotype": 99},                    # id out of range
@@ -134,6 +140,17 @@ def test_type_malformed_requests_get_400(server):
         assert status == 400 and "error" in out, req
     assert _request(server, "POST", "/v1/batch", {"items": "ab"})[0] == 400
     assert _request(server, "POST", "/v1/batch", {"items": ["x"]})[0] == 400
+    # attacker-sized Content-Length must be refused before buffering
+    import http.client as hc
+    conn = hc.HTTPConnection("127.0.0.1", server.port, timeout=300)
+    conn.putrequest("POST", "/v1/synthesize")
+    conn.putheader("Content-Type", "application/json")
+    conn.putheader("Content-Length", str(10 ** 10))
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 413
+    resp.read()
+    conn.close()
     # non-object JSON body
     import http.client
     conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=300)

@@ -53,7 +53,7 @@ def _has_glyph(font_path: str, fontsize: int, ch: str) -> bool:
     as the same bitmap as a guaranteed-unmapped private-use codepoint."""
     font = _load_font(font_path, fontsize)
     return not np.array_equal(_glyph_mask(font, ch, fontsize),
-                              _glyph_mask(font, "", fontsize))
+                              _glyph_mask(font, "\ue000", fontsize))
 
 
 def _draw_procedural_glyph(draw: "ImageDraw.ImageDraw", ch: str,

@@ -248,6 +248,10 @@ class DemoServer:
         rates = req.get("width_rates") or None
         if rates is not None and len(rates) != len(text):
             rates = None
+        if rates is not None:
+            # clamp untrusted rates: fontsize * rate is a PIL image width,
+            # and an absurd rate would allocate GBs in the render
+            rates = [min(max(float(r), 0.05), 8.0) for r in rates]
         with self._lock:
             res = self.synth.synthesize(
                 text, req.get("audiotype", 0), width_rates=rates,

@@ -49,16 +49,36 @@ import numpy as np
 
 MAX_TEXT_LEN = 64
 LATENCY_WINDOW = 1000      # latency samples kept for the stats quantiles
+MAX_BODY_BYTES = 1 << 20   # request-body cap; real requests are << 64 KB
+WIDTH_RATE_RANGE = (0.05, 8.0)   # sane glyph-stretch bounds (demo UI ~0.5-2)
+CONTROL_RANGE = (0.05, 20.0)     # e/d control bounds
+
+
+def _in_range(v, lo: float, hi: float) -> bool:
+    """Bounds-check an untrusted JSON number WITHOUT raising: rejects bools,
+    non-numbers, NaN/inf, out-of-range values, and integers too large for a
+    float (json parses arbitrary-precision ints; float() on them raises
+    OverflowError and np.isfinite raises TypeError)."""
+    if not isinstance(v, (int, float)) or isinstance(v, bool):
+        return False
+    try:
+        f = float(v)
+    except OverflowError:
+        return False
+    return lo <= f <= hi
 
 
 class _Pending:
-    __slots__ = ("req", "event", "result", "error", "t0")
+    __slots__ = ("req", "event", "result", "error", "error_code",
+                 "cancelled", "t0")
 
     def __init__(self, req: dict):
         self.req = req
         self.event = threading.Event()
         self.result = None
         self.error = None
+        self.error_code = 500
+        self.cancelled = False
         self.t0 = time.perf_counter()
 
 
@@ -76,6 +96,10 @@ class BatchingServer:
         # latency (each queued request also pins a handler thread)
         self._q: "queue.Queue[_Pending]" = queue.Queue(maxsize=int(max_queue))
         self._stop = threading.Event()
+        # taken around {check _stop, enqueue} and around {set _stop, final
+        # drain}: without it a submitter preempted between the check and the
+        # put could enqueue AFTER the shutdown drain and hang forever
+        self._submit_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
                       "errors": 0}
@@ -111,6 +135,9 @@ class BatchingServer:
             def do_POST(self):
                 try:
                     n = int(self.headers.get("Content-Length", 0))
+                    if n > MAX_BODY_BYTES:  # never buffer attacker-sized bodies
+                        return self._send(
+                            413, {"error": f"body exceeds {MAX_BODY_BYTES} bytes"})
                     req = json.loads(self.rfile.read(n) or b"{}")
                 except Exception as e:  # malformed body
                     return self._send(400, {"error": str(e)})
@@ -163,7 +190,8 @@ class BatchingServer:
             # the worker drains still-queued requests with an error on exit
             # (a queued client must never hang forever); give it a moment
             self._worker.join(timeout=30.0)
-        self._drain_queue()
+        with self._submit_lock:   # no submitter can enqueue after this drain
+            self._drain_queue()
         self.httpd.shutdown()
         self.httpd.server_close()
 
@@ -175,6 +203,7 @@ class BatchingServer:
             except queue.Empty:
                 return
             p.error = "server is shutting down"
+            p.error_code = 503
             p.event.set()
 
     # ------------------------------------------------------------ requests
@@ -232,19 +261,19 @@ class BatchingServer:
                               if c not in self.synth.symbol_map})
             if missing:
                 return f"characters not in the vocabulary: {missing[:5]}"
+        lo, hi = WIDTH_RATE_RANGE
         wr = req.get("width_rates")
         if wr is not None:
             if not isinstance(wr, list) or not all(
-                    isinstance(x, (int, float)) and not isinstance(x, bool)
-                    and np.isfinite(x) for x in wr):
-                return "width_rates must be a list of finite numbers"
+                    _in_range(x, lo, hi) for x in wr):
+                return (f"width_rates must be a list of numbers in "
+                        f"[{lo}, {hi}]")
             if len(wr) != len(text):
                 return "width_rates length must match text"
+        clo, chi = CONTROL_RANGE
         for key in ("e_control", "d_control"):
-            v = req.get(key, 1.0)
-            if (not isinstance(v, (int, float)) or isinstance(v, bool)
-                    or not np.isfinite(v)):
-                return f"{key} must be a finite number"
+            if not _in_range(req.get(key, 1.0), clo, chi):
+                return f"{key} must be a number in [{clo}, {chi}]"
         return None
 
     def submit(self, req: dict) -> tuple[int, dict]:
@@ -252,15 +281,16 @@ class BatchingServer:
         err = self._validate(req)
         if err:
             return 400, {"error": err}
-        if self._stop.is_set():
-            return 503, {"error": "server is shutting down"}
         p = _Pending(req)
-        try:
-            self._q.put_nowait(p)
-        except queue.Full:
-            with self._stats_lock:
-                self.stats["errors"] += 1
-            return 503, {"error": "server overloaded (queue full)"}
+        with self._submit_lock:
+            if self._stop.is_set():
+                return 503, {"error": "server is shutting down"}
+            try:
+                self._q.put_nowait(p)
+            except queue.Full:
+                with self._stats_lock:
+                    self.stats["errors"] += 1
+                return 503, {"error": "server overloaded (queue full)"}
         p.event.wait()
         with self._stats_lock:
             self.stats["requests"] += 1
@@ -268,7 +298,7 @@ class BatchingServer:
             if p.error:
                 self.stats["errors"] += 1
         if p.error:
-            return 500, {"error": p.error}
+            return p.error_code, {"error": p.error}
         return 200, p.result
 
     def run_batch(self, items) -> tuple[int, dict]:
@@ -279,33 +309,42 @@ class BatchingServer:
             err = self._validate(it)
             if err:
                 return 400, {"error": err}
-        if self._stop.is_set():
-            return 503, {"error": "server is shutting down"}
         pend = [_Pending(it) for it in items]
-        placed = []
-        for p in pend:
-            try:
-                self._q.put_nowait(p)
-                placed.append(p)
-            except queue.Full:
-                # fail the whole explicit batch atomically: mark the rest
-                # and wait only for the ones already enqueued
-                for r in pend:
-                    if r not in placed:
-                        r.error = "server overloaded (queue full)"
-                for r in placed:
-                    r.event.wait()
-                with self._stats_lock:
-                    self.stats["errors"] += 1
-                return 503, {"error": "server overloaded (queue full)"}
+        overloaded = False
+        with self._submit_lock:
+            if self._stop.is_set():
+                return 503, {"error": "server is shutting down"}
+            placed = []
+            for p in pend:
+                try:
+                    self._q.put_nowait(p)
+                    placed.append(p)
+                except queue.Full:
+                    overloaded = True
+                    break
+        if overloaded:
+            # fail the whole explicit batch atomically: cancel the already
+            # enqueued prefix (the worker finishes cancelled items WITHOUT
+            # device work) and error the rest
+            for r in pend:
+                r.cancelled = True
+            for r in pend[len(placed):]:
+                r.error = "server overloaded (queue full)"
+                r.event.set()
+            for r in placed:
+                r.event.wait()
+            with self._stats_lock:
+                self.stats["errors"] += len(pend)
+            return 503, {"error": "server overloaded (queue full)"}
         for p in pend:
             p.event.wait()
         with self._stats_lock:
             self.stats["requests"] += len(pend)
             self._latencies.extend(
                 time.perf_counter() - p.t0 for p in pend)
-        if any(p.error for p in pend):
-            return 500, {"error": next(p.error for p in pend if p.error)}
+        first_err = next((p for p in pend if p.error), None)
+        if first_err is not None:
+            return first_err.error_code, {"error": first_err.error}
         return 200, {"items": [p.result for p in pend]}
 
     # -------------------------------------------------------------- worker
@@ -323,11 +362,11 @@ class BatchingServer:
                 continue
             # the worker is a singleton: it must never die, or every queued
             # and future request would block forever on its event
+            group = [first]
             try:
                 # e/d controls are per-item traced inputs, so ANY mix of
                 # requests shares one device batch — no grouping, no
                 # re-queueing, no starvation of minority control values
-                group = [first]
                 deadline = time.perf_counter() + self.window_s
                 while len(group) < self.max_batch:
                     left = deadline - time.perf_counter()
@@ -339,11 +378,26 @@ class BatchingServer:
                         break
                 self._serve_group(group)
             except Exception as e:  # pragma: no cover - defensive
-                first.error = f"{type(e).__name__}: {e}"
-                first.event.set()
+                # whatever happened, EVERY member of the collected group
+                # must be released — a missed event hangs that client forever
+                for p in group:
+                    if not p.event.is_set():
+                        p.error = p.error or f"{type(e).__name__}: {e}"
+                        p.event.set()
 
-    def _serve_group(self, group: list[_Pending]) -> None:
+    def _serve_group(self, group: list[_Pending],
+                     record_stats: bool = True) -> None:
         from visual_onoma_to_wave_tpu.data.audio_io import wav_bytes
+
+        # cancelled items (run_batch overload rollback) take no device work
+        live = [p for p in group if not p.cancelled]
+        for p in group:
+            if p.cancelled:
+                p.error = "cancelled"
+                p.error_code = 503
+                p.event.set()
+        if not live:
+            return
 
         sr = self.synth.config.audio.sampling_rate
         hop = self.synth.config.audio.stft.hop_length
@@ -351,37 +405,45 @@ class BatchingServer:
             # return_mel=False: the responses only need frame counts, so the
             # (B, T, n_mels) mel batch never leaves the device
             results = self.synth.synthesize_batch(
-                [p.req["text"] for p in group],
-                [p.req.get("audiotype", 0) for p in group],
-                width_rates=[p.req.get("width_rates") for p in group],
-                e_control=[float(p.req.get("e_control", 1.0)) for p in group],
-                d_control=[float(p.req.get("d_control", 1.0)) for p in group],
+                [p.req["text"] for p in live],
+                [p.req.get("audiotype", 0) for p in live],
+                width_rates=[p.req.get("width_rates") for p in live],
+                e_control=[float(p.req.get("e_control", 1.0)) for p in live],
+                d_control=[float(p.req.get("d_control", 1.0)) for p in live],
                 return_mel=False)
+            # response building stays inside the try: an encode failure must
+            # route through the same isolation/error path as a device one
+            for p, r in zip(live, results):
+                p.result = {
+                    "sample_rate": sr,
+                    "mel_frames": int(r.mel_len),
+                    "durations": [int(d) for d in r.durations],
+                    "seconds": float(r.mel_len * hop / sr),
+                    "wav_b64": (base64.b64encode(
+                        wav_bytes(np.asarray(r.wav), sr)).decode()
+                        if r.wav is not None else None),
+                }
         except Exception as e:
-            if len(group) > 1:
+            if len(live) > 1:
                 # isolate the fault: retry items individually so one bad
-                # request cannot fail the innocent requests batched with it
-                for p in group:
-                    self._serve_group([p])
+                # request cannot fail the innocent requests batched with it.
+                # Retries don't count as batches (stats would otherwise
+                # collapse mean_batch_size toward 1 on a transient failure).
+                for p in live:
+                    self._serve_group([p], record_stats=False)
+                if record_stats:  # the original batch counts exactly once
+                    with self._stats_lock:
+                        self.stats["batches"] += 1
+                        self.stats["batched_requests"] += len(live)
                 return
-            group[0].error = f"{type(e).__name__}: {e}"
-            self._finish(group)
-            return
-        for p, r in zip(group, results):
-            p.result = {
-                "sample_rate": sr,
-                "mel_frames": int(r.mel_len),
-                "durations": [int(d) for d in r.durations],
-                "seconds": float(r.mel_len * hop / sr),
-                "wav_b64": (base64.b64encode(
-                    wav_bytes(np.asarray(r.wav), sr)).decode()
-                    if r.wav is not None else None),
-            }
-        self._finish(group)
+            live[0].result = None
+            live[0].error = f"{type(e).__name__}: {e}"
+        self._finish(live, record_stats)
 
-    def _finish(self, group: list[_Pending]) -> None:
-        with self._stats_lock:
-            self.stats["batches"] += 1
-            self.stats["batched_requests"] += len(group)
+    def _finish(self, group: list[_Pending], record_stats: bool = True) -> None:
+        if record_stats:
+            with self._stats_lock:
+                self.stats["batches"] += 1
+                self.stats["batched_requests"] += len(group)
         for p in group:
             p.event.set()
