@@ -13,7 +13,7 @@ from visual_onoma_to_wave_tpu.config import (
     load_yaml_configs,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "Config",
