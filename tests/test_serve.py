@@ -56,6 +56,10 @@ def test_health_and_meta(server):
     assert status == 200
     assert m["audiotypes"] == ["drum"]
     assert m["sampling_rate"] == 22050 and m["max_batch"] == 8
+    # clients can discover the validation limits
+    assert m["max_text_len"] >= 1 and m["max_queue"] >= 1
+    assert m["width_rate_range"][0] < 1.0 < m["width_rate_range"][1]
+    assert m["control_range"][0] < 1.0 < m["control_range"][1]
 
 
 def test_single_request_roundtrip(server):

@@ -214,6 +214,9 @@ class BatchingServer:
             "sampling_rate": self.synth.config.audio.sampling_rate,
             "max_batch": self.max_batch,
             "max_text_len": MAX_TEXT_LEN,
+            "max_queue": self._q.maxsize,
+            "width_rate_range": list(WIDTH_RATE_RANGE),
+            "control_range": list(CONTROL_RANGE),
         }
 
     def reset_stats(self) -> None:
