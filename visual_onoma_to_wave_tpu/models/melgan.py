@@ -30,6 +30,8 @@ import numpy as np
 from visual_onoma_to_wave_tpu.models.hifigan import (
     _conv_transpose1d,
     _fold_weight_norm,
+    _t_conv,
+    _t_convtr,
 )
 
 LRELU_SLOPE = 0.2
@@ -120,19 +122,6 @@ class MelGANGenerator(nn.Module):
 # ---------------------------------------------------------------------------
 # Torch checkpoint conversion (torch.hub melgan-neurips mel2wav layout)
 # ---------------------------------------------------------------------------
-
-def _t_conv(state: dict, prefix: str):
-    """torch Conv1d (Cout, Cin, K) -> HIO, folding weight norm."""
-    w = _fold_weight_norm(state, prefix).transpose(2, 1, 0)
-    return w, np.asarray(state[f"{prefix}.bias"], dtype=np.float32)
-
-
-def _t_convtr(state: dict, prefix: str):
-    """torch ConvTranspose1d (Cin, Cout, K) -> flipped HIO."""
-    w = _fold_weight_norm(state, prefix)
-    w = w[:, :, ::-1].transpose(2, 0, 1).copy()
-    return w, np.asarray(state[f"{prefix}.bias"], dtype=np.float32)
-
 
 def convert_melgan_state_dict(
     state: dict,

@@ -68,7 +68,9 @@ class VisualFeatureExtractor(nn.Module):
         # (B*C, H, W, channels): NHWC for XLA conv
         x = cells.reshape(B * C, H, W, 1)
         if self.channels == 3:
-            x = jnp.repeat(x, 3, axis=-1) if cells.ndim == 4 else x
+            # RGB-scale: grayscale glyphs replicated per channel, matching
+            # the reference loader's PIL convert("RGB")
+            x = jnp.repeat(x, 3, axis=-1)
         for i in range(self.num_convolutions):
             x = nn.Conv(
                 self.channels, self.kernel_size, padding="SAME",

@@ -69,6 +69,7 @@ class VTTS(nn.Module):
     encoder_layers: int = 4
     decoder_layers: int = 6
     n_head: int = 2
+    decoder_n_head: int | None = None    # None = same as encoder
     d_inner: int = 1024
     ffn_kernel: tuple[int, int] = (9, 1)
     encoder_dropout: float = 0.2
@@ -109,6 +110,13 @@ class VTTS(nn.Module):
                     n_vocab: int = 64, max_mel_len: Optional[int] = None) -> "VTTS":
         m = config.model
         t = m.transformer
+        if t.decoder_hidden != t.encoder_hidden:
+            # the length-regulated encoder output feeds the decoder directly
+            # (no projection), exactly like the reference (Models.py:165) —
+            # differing hiddens would silently mis-shape there too
+            raise ValueError(
+                f"decoder_hidden ({t.decoder_hidden}) must equal "
+                f"encoder_hidden ({t.encoder_hidden})")
         kwargs = dict(
             n_vocab=n_vocab,
             n_audiotype=metadata.n_audiotype if metadata else 10,
@@ -116,6 +124,7 @@ class VTTS(nn.Module):
             encoder_layers=t.encoder_layer,
             decoder_layers=t.decoder_layer,
             n_head=t.encoder_head,
+            decoder_n_head=t.decoder_head,
             d_inner=t.conv_filter_size,
             ffn_kernel=tuple(t.conv_kernel_size),
             encoder_dropout=t.encoder_dropout,
@@ -221,7 +230,8 @@ class VTTS(nn.Module):
         T = x.shape[1]
         x = x + self._position_table(T)[None, :, :]
         x = FFTStack(
-            self.decoder_layers, self.hidden, self.n_head, self.d_inner,
+            self.decoder_layers, self.hidden,
+            self.decoder_n_head or self.n_head, self.d_inner,
             self.ffn_kernel, self.decoder_dropout, dtype=self.dtype,
             name="decoder",
         )(x, mel_pad_mask, deterministic)

@@ -142,7 +142,10 @@ def _run_mel_kernel(prepadded_audio, n_fft, hop_length, win_length, n_mels,
     n_rows = t_pad + taps - 1
     audio = jnp.clip(prepadded_audio, -1.0, 1.0)
     need = n_rows * hop_length
-    audio = jnp.pad(audio, ((0, 0), (0, need - length)))[:, :need]
+    # `length` may exceed `need` when n_frames lands exactly on a tile_t
+    # multiple but the input isn't frame-aligned — pad only when short,
+    # always slice to the kernel's row grid
+    audio = jnp.pad(audio, ((0, 0), (0, max(0, need - length))))[:, :need]
     rows = audio.reshape(b, n_rows, hop_length)
     # (b, taps, t_pad, hop): tap j = rows shifted by j (see _mel_kernel)
     rows = jnp.stack([rows[:, j:j + t_pad] for j in range(taps)], axis=1)

@@ -174,35 +174,18 @@ def spectral_kurtosis(
     durations: (max_chars,) int32, zero-padded
     returns:   (max_chars,) float32; entries with duration 0 are 0.
     """
-    eps = 1e-8
     audio = jnp.clip(audio, -1.0, 1.0)
     mag = magnitude_spectrogram(audio, window, n_fft, hop_length, win_length)
     power = (mag * mag).astype(jnp.float32)          # (F, T)
-    n_freqs, n_frames = power.shape
-
-    bounds = jnp.cumsum(durations)                    # (C,)
-    frame_idx = jnp.arange(n_frames, dtype=jnp.int32)
-    # char id for each frame: first bound strictly greater than frame index
-    char_of_frame = jnp.searchsorted(bounds, frame_idx, side="right")
-    # frames beyond sum(durations) go to an overflow bucket
-    char_of_frame = jnp.where(frame_idx < bounds[-1], char_of_frame, max_chars)
-
+    n_freqs = power.shape[0]
     p_sum_t = jnp.sum(power, axis=0)                  # (T,)
-    logp_sum_t = jnp.sum(jnp.log(power + eps), axis=0)
-
-    seg_p = jax.ops.segment_sum(p_sum_t, char_of_frame, num_segments=max_chars + 1)[:max_chars]
-    seg_logp = jax.ops.segment_sum(logp_sum_t, char_of_frame, num_segments=max_chars + 1)[:max_chars]
-
-    counts = (durations * n_freqs).astype(jnp.float32)
-    safe = counts > 0
-    denom = jnp.where(safe, counts, 1.0)
-    mean_p = seg_p / denom
-    mean_logp = seg_logp / denom
-
-    gamma = jnp.log(mean_p + eps) - mean_logp
-    eta = (3.0 - gamma + jnp.sqrt((gamma - 3.0) ** 2 + 24.0 * gamma)) / (12.0 * gamma)
-    kurt = (eta + 2.0) * (eta + 3.0) / (eta * (eta + 1.0) + eps)
-    return jnp.where(safe, kurt, 0.0).astype(jnp.float32)
+    logp_sum_t = jnp.sum(jnp.log(power + KURTOSIS_EPS), axis=0)
+    # single estimator implementation (char_stats_from_frame_sums); the
+    # unused energy output is DCE'd under jit
+    _, kurt = char_stats_from_frame_sums(
+        jnp.zeros_like(p_sum_t), p_sum_t, logp_sum_t, durations,
+        max_chars=max_chars, n_freqs=n_freqs)
+    return kurt
 
 
 @functools.partial(jax.jit, static_argnames=("max_chars",))
@@ -218,14 +201,12 @@ def char_level_energy(
     durations: (max_chars,) int32
     returns:   (max_chars,) float32
     """
-    n_frames = energy.shape[0]
-    bounds = jnp.cumsum(durations)
-    frame_idx = jnp.arange(n_frames, dtype=jnp.int32)
-    char_of_frame = jnp.searchsorted(bounds, frame_idx, side="right")
-    char_of_frame = jnp.where(frame_idx < bounds[-1], char_of_frame, max_chars)
-    seg = jax.ops.segment_sum(energy, char_of_frame, num_segments=max_chars + 1)[:max_chars]
-    d = durations.astype(jnp.float32)
-    return jnp.where(d > 0, seg / jnp.where(d > 0, d, 1.0), 0.0).astype(jnp.float32)
+    # single estimator implementation (char_stats_from_frame_sums); the
+    # unused kurtosis output is DCE'd under jit
+    zeros = jnp.zeros_like(energy)
+    e, _ = char_stats_from_frame_sums(energy, zeros, zeros, durations,
+                                      max_chars=max_chars, n_freqs=1)
+    return e
 
 
 @functools.partial(
@@ -354,16 +335,13 @@ def griffin_lim(
         return sig[n_fft // 2 : total - n_fft // 2]
 
     def stft_phase(sig):
-        mag = magnitude_spectrogram(sig, window, n_fft, hop_length, win_length)
         padded = _reflect_pad_1d(sig, n_fft // 2)
         frames = frame_signal(padded, n_fft, hop_length) * window
         spec = jnp.fft.rfft(frames, n=n_fft, axis=-1).T[:, :t]
-        return spec / jnp.maximum(jnp.abs(spec), 1e-8), mag
+        return spec / jnp.maximum(jnp.abs(spec), 1e-8)
 
     def body(_, phase):
-        sig = istft(magnitudes * phase)
-        new_phase, _ = stft_phase(sig)
-        return new_phase[:, :t]
+        return stft_phase(istft(magnitudes * phase))[:, :t]
 
     phase = jax.lax.fori_loop(0, n_iters, body, phase)
     return istft(magnitudes * phase)
