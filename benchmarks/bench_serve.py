@@ -92,8 +92,11 @@ def main() -> int:
     # 1-2 vocoder executables (what a production deployment would pin too)
     synth.mel_bucket = 512
     max_batch = 16
+    # request_timeout_s: the warm phase drives cold executables through the
+    # HTTP path (compile + one-time upload can exceed the 30 s production
+    # default); the load phase itself runs far below this
     srv = BatchingServer(synth, port=0, max_batch=max_batch,
-                         batch_window_ms=8.0)
+                         batch_window_ms=8.0, request_timeout_s=600.0)
     srv.start()
     print(f"server up on :{srv.port}", flush=True)
 

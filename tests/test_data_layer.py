@@ -141,3 +141,64 @@ def test_renderer_procedural_glyphs_distinct_and_deterministic():
     rep = r.draw_with_width_rates("パパ", [1.0, 1.0])
     c = rep.reshape(24, 2, 102)
     np.testing.assert_array_equal(c[:, 0, :], c[:, 1, :])
+
+
+def test_glyph_source_classification_and_stamp(tmp_path):
+    """glyph_source_for_chars classifies a host's rendering of a char set;
+    DatasetMetadata round-trips the stamp (ADVICE r2: a model trained on
+    procedural glyphs must not silently serve real-font glyphs)."""
+    from visual_onoma_to_wave_tpu.config import DatasetMetadata, FeatureStats
+    from visual_onoma_to_wave_tpu.data.renderer import glyph_source_for_chars
+
+    # no CJK font in this image: latin covered, katakana procedural
+    assert glyph_source_for_chars("", 24, "AB") == "font"
+    assert glyph_source_for_chars("", 24, "パンド") == "procedural"
+    assert glyph_source_for_chars("", 24, "Aパ") == "mixed"
+    assert glyph_source_for_chars("", 24, "") == "font"   # vacuous
+
+    md = DatasetMetadata(
+        audiotype_map={"drum": 0},
+        energy_stats=FeatureStats(-1, 1, 0, 1),
+        kurtosis_stats=FeatureStats(-1, 1, 0, 1),
+        max_pixelsize=102, image_height=24, label_width={},
+        glyph_source="procedural", font_name="ipaexg")
+    md.save(tmp_path)
+    back = DatasetMetadata.load(tmp_path)
+    assert back.glyph_source == "procedural"
+    assert back.font_name == "ipaexg"
+    # pre-stamp metadata (no key) loads as None — backward compatible
+    import json
+    vt = json.loads((tmp_path / "visual_text.json").read_text())
+    del vt["glyph_source"], vt["font"]
+    (tmp_path / "visual_text.json").write_text(json.dumps(vt))
+    assert DatasetMetadata.load(tmp_path).glyph_source is None
+
+
+def test_glyph_source_mismatch_warns():
+    """Synthesizer warns when the serving host would render the vocabulary
+    with a different glyph source than the training stamp."""
+    import types
+    import warnings
+
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+
+    def probe(trained_source, use_image=True):
+        dummy = types.SimpleNamespace(
+            use_image=use_image,
+            metadata=types.SimpleNamespace(glyph_source=trained_source,
+                                           font_name="ipaexg"),
+            config=types.SimpleNamespace(
+                path=types.SimpleNamespace(font="")),
+            renderer=types.SimpleNamespace(fontsize=24),
+            symbol_map={"PAD": 0, "パ": 1, "ン": 2},
+        )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            Synthesizer._check_glyph_source(dummy)
+        return [str(x.message) for x in w]
+
+    # this host renders katakana procedurally
+    assert any("glyph-source mismatch" in m for m in probe("font"))
+    assert probe("procedural") == []       # matching stamp: silent
+    assert probe(None) == []               # pre-stamp metadata: silent
+    assert probe("font", use_image=False) == []   # text path: irrelevant

@@ -245,8 +245,8 @@ def test_queue_backpressure_503():
 
     srv = BatchingServer(_NoSynth(), port=0, max_queue=2)
     # do NOT start the worker: fill the queue directly
-    srv._q.put_nowait(_Pending({"text": "パ"}))
-    srv._q.put_nowait(_Pending({"text": "パ"}))
+    srv._q.put_nowait(_Pending({"text": "パ"}, 30.0))
+    srv._q.put_nowait(_Pending({"text": "パ"}, 30.0))
     status, out = srv.submit({"text": "パ", "audiotype": "drum"})
     assert status == 503 and "overloaded" in out["error"]
     status, out = srv.run_batch([{"text": "パ", "audiotype": "drum"}])
@@ -328,4 +328,150 @@ def test_poisoned_request_isolated_from_batch(server, monkeypatch):
     # the innocent requests succeed even when batched with the poisoned one
     assert results["good1"][0] == 200 and results["good2"][0] == 200
     assert results["bad"][0] == 500
-    assert "injected" in results["bad"][1]["error"]
+    # details are logged server-side only; clients get a generic message
+    # (exception text can carry internal shapes/paths)
+    assert results["bad"][1]["error"] == "synthesis failed"
+    assert "injected" not in results["bad"][1]["error"]
+
+
+def test_meta_exposes_deadline_limits(server):
+    m = _request(server, "GET", "/v1/meta")[1]
+    assert m["request_timeout_s"] > 0
+    assert 1 <= m["batch_queue_reserve"] < m["max_queue"]
+
+
+def test_queued_past_deadline_gets_504(server, monkeypatch):
+    """A request whose deadline passes while still queued is answered 504
+    and is NEVER sent to the device."""
+    import threading as th
+    import time
+
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+
+    real = Synthesizer.synthesize_batch
+    gate = th.Event()
+    calls = []
+
+    def gated(self, texts, audiotypes, **kw):
+        calls.append(list(texts))
+        gate.wait(timeout=60)
+        return real(self, texts, audiotypes, **kw)
+
+    monkeypatch.setattr(Synthesizer, "synthesize_batch", gated)
+    monkeypatch.setattr(server, "timeout_s", 1.0)
+    results = {}
+
+    def fire(key, text):
+        results[key] = _request(server, "POST", "/v1/synthesize",
+                                {"text": text, "audiotype": "drum"})
+
+    # first request occupies the worker inside the gated device call...
+    t1 = th.Thread(target=fire, args=("inflight", "パン"))
+    t1.start()
+    deadline = time.time() + 30
+    while not calls and time.time() < deadline:
+        time.sleep(0.01)
+    assert calls, "worker never picked up the in-flight request"
+    # ...second request sits queued past its 1s deadline
+    t2 = th.Thread(target=fire, args=("queued", "パンパ"))
+    t2.start()
+    t2.join(timeout=30)
+    assert not t2.is_alive()
+    assert results["queued"][0] == 504, results["queued"]
+    assert "deadline" in results["queued"][1]["error"]
+    gate.set()
+    t1.join(timeout=60)
+    # the queued request's text never reached the device
+    assert ["パンパ"] not in calls
+    stats = _request(server, "GET", "/v1/stats")[1]
+    assert stats["timeouts"] >= 1
+    # the server still serves afterwards
+    assert _request(server, "POST", "/v1/synthesize",
+                    {"text": "パ", "audiotype": "drum"})[0] == 200
+
+
+def test_wedged_device_call_fails_group_and_recovers(server, monkeypatch):
+    """The watchdog must 504 a group whose device call wedges instead of
+    freezing the singleton worker (and every later client) forever — and
+    the server must keep serving once the wedge clears."""
+    import threading as th
+
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+
+    real = Synthesizer.synthesize_batch
+    wedge = th.Event()
+
+    def wedged(self, texts, audiotypes, **kw):
+        if any(t == "ドンドン" for t in texts):
+            wedge.wait(timeout=120)   # simulates a tunnel stall
+        return real(self, texts, audiotypes, **kw)
+
+    monkeypatch.setattr(Synthesizer, "synthesize_batch", wedged)
+    monkeypatch.setattr(server, "device_timeout_s", 1.0)
+    status, out = _request(server, "POST", "/v1/synthesize",
+                           {"text": "ドンドン", "audiotype": "drum"})
+    assert status == 504, out
+    assert "timed out" in out["error"]
+    wedge.set()   # the stalled thread finishes into a dead outcome dict
+    # worker survived: the next request is served normally
+    status, r = _request(server, "POST", "/v1/synthesize",
+                         {"text": "パ", "audiotype": "drum"})
+    assert status == 200 and r["mel_frames"] >= 1
+
+
+def test_batch_cannot_starve_singles():
+    """/v1/batch admission is atomic and leaves batch_queue_reserve slots
+    that only /v1/synthesize may use."""
+    from visual_onoma_to_wave_tpu.serve import BatchingServer
+
+    class _NoSynth:
+        class metadata:
+            audiotype_map = {"drum": 0}
+
+        class config:
+            class audio:
+                sampling_rate = 22050
+
+                class stft:
+                    hop_length = 256
+        use_image = True
+        vocoder_params = None
+
+    srv = BatchingServer(_NoSynth(), port=0, max_queue=8,
+                         batch_queue_reserve=2)
+    # worker not started: queue state is fully controlled.
+    # a flood batch may take at most 8-2=6 slots; 7 items must be rejected
+    # whole (all-or-nothing: nothing of it may linger in the queue)
+    item = {"text": "パ", "audiotype": "drum"}
+    status, out = srv.run_batch([dict(item) for _ in range(7)])
+    assert status == 503 and srv._q.qsize() == 0
+    # 6 items are admitted (worker absent -> they'd be served; here we only
+    # check admission, then drain)
+    import threading as th
+    t = th.Thread(target=srv.run_batch,
+                  args=([dict(item) for _ in range(6)],), daemon=True)
+    t.start()
+    deadline = 50
+    while srv._q.qsize() < 6 and deadline:
+        import time
+        time.sleep(0.01)
+        deadline -= 1
+    assert srv._q.qsize() == 6
+    # the queue now has only the reserve left: another batch is refused...
+    assert srv.run_batch([dict(item)])[0] == 503
+    # ...but a single still fits (reserve slots are for singles only)
+    ok = {}
+
+    def single():
+        ok["r"] = srv.submit(dict(item))
+
+    t2 = th.Thread(target=single, daemon=True)
+    t2.start()
+    import time
+    time.sleep(0.1)
+    assert srv._q.qsize() == 7   # the single was admitted
+    srv._drain_queue()           # releases both waiters with 503
+    t.join(timeout=10)
+    t2.join(timeout=10)
+    assert ok["r"][0] == 503
+    srv.httpd.server_close()

@@ -348,3 +348,102 @@ def test_rejects_hop_mismatch():
                        use_mesh=False,
                        mpd=MultiPeriodDiscriminator(**TINY_MPD),
                        msd=MultiScaleDiscriminator(**TINY_MSD))
+
+
+def test_single_forward_vjp_step_matches_recompute_formulation():
+    """The production step runs the generator ONCE (saved jax.vjp closed by
+    the G update). Pin it numerically against the straightforward
+    two-forward formulation (recompute y_hat inside the G loss): gen_params
+    are untouched by the D update, so the two must agree to float tolerance
+    on every updated parameter group."""
+    import optax
+    from visual_onoma_to_wave_tpu.ops.stft import (
+        hann_window, logmel_and_energy, melscale_fbanks)
+    from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
+        make_gan_train_step)
+
+    cfg = _tiny_cfg(learning_rate=5e-4)
+    gen = _tiny_gen()
+    mpd = MultiPeriodDiscriminator(**TINY_MPD)
+    msd = MultiScaleDiscriminator(**TINY_MSD)
+    rng = np.random.default_rng(7)
+    audio = jnp.asarray(
+        rng.normal(0, 0.3, (cfg.batch_size, cfg.segment_size)), jnp.float32)
+
+    def init_state():
+        from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
+            GANTrainState)
+        k = jax.random.PRNGKey(0)
+        gp = gen.init(k, jnp.zeros((1, 8, cfg.n_mels), jnp.float32))
+        y0 = jnp.zeros((1, cfg.segment_size), jnp.float32)
+        mp = mpd.init(k, y0, y0)["params"]
+        sp = msd.init(k, y0, y0)["params"]
+        gtx = optax.adam(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2)
+        dtx = optax.adam(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2)
+        return GANTrainState(
+            step=jnp.zeros((), jnp.int32), gen_params=gp, mpd_params=mp,
+            msd_params=sp, gen_opt=gtx.init(gp), disc_opt=dtx.init((mp, sp)),
+        ), gtx, dtx
+
+    # production step (single forward + vjp)
+    state_a, gtx, dtx = init_state()
+    step = make_gan_train_step(gen, mpd, msd, gtx, dtx, cfg)
+    new_a, metrics_a = step(state_a, audio)
+
+    # reference formulation: recompute the forward inside the G loss
+    window = jnp.asarray(hann_window(cfg.win_length))
+    fb = jnp.asarray(melscale_fbanks(cfg.n_fft // 2 + 1, cfg.f_min,
+                                     cfg.f_max, cfg.n_mels,
+                                     cfg.sampling_rate))
+    t_mel = cfg.segment_size // cfg.hop_length
+
+    def mel_of(a):
+        lm, _ = logmel_and_energy(a, window, fb, cfg.n_fft, cfg.hop_length,
+                                  cfg.win_length)
+        return lm[..., :t_mel]
+
+    def recompute_step(state, audio):
+        mel_target = mel_of(audio)
+        y_hat = gen.apply(state.gen_params, mel_target.swapaxes(1, 2))
+        y_sg = jax.lax.stop_gradient(y_hat)
+
+        def d_loss(dp):
+            mp_, sp_ = dp
+            pr, pg, _, _ = mpd.apply({"params": mp_}, audio, y_sg)
+            sr, sg_, _, _ = msd.apply({"params": sp_}, audio, y_sg)
+            return discriminator_loss(pr, pg) + discriminator_loss(sr, sg_)
+
+        d_grads = jax.grad(d_loss)((state.mpd_params, state.msd_params))
+        d_up, disc_opt = dtx.update(d_grads, state.disc_opt,
+                                    (state.mpd_params, state.msd_params))
+        mp2, sp2 = optax.apply_updates(
+            (state.mpd_params, state.msd_params), d_up)
+
+        def g_loss(gp):
+            yh = gen.apply(gp, mel_target.swapaxes(1, 2))
+            mel_l1 = jnp.mean(jnp.abs(mel_of(yh) - mel_target))
+            pr, pg, fpr, fpg = mpd.apply({"params": mp2}, audio, yh)
+            sr, sg_, fsr, fsg = msd.apply({"params": sp2}, audio, yh)
+            adv = (generator_adversarial_loss(pg)
+                   + generator_adversarial_loss(sg_))
+            fm = (feature_matching_loss(fpr, fpg)
+                  + feature_matching_loss(fsr, fsg))
+            return adv + fm + cfg.mel_loss_weight * mel_l1
+
+        g_grads = jax.grad(g_loss)(state.gen_params)
+        g_up, _ = gtx.update(g_grads, state.gen_opt, state.gen_params)
+        return optax.apply_updates(state.gen_params, g_up), (mp2, sp2)
+
+    state_b, _, _ = init_state()
+    gen_b, (mpd_b, msd_b) = jax.jit(recompute_step)(state_b, audio)
+
+    for a, b in zip(jax.tree.leaves(jax.device_get(new_a.gen_params)),
+                    jax.tree.leaves(jax.device_get(gen_b))):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(jax.device_get(new_a.mpd_params)),
+                    jax.tree.leaves(jax.device_get(mpd_b))):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(jax.device_get(new_a.msd_params)),
+                    jax.tree.leaves(jax.device_get(msd_b))):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+    assert np.isfinite(float(metrics_a["g_total"]))

@@ -143,7 +143,8 @@ def cmd_serve(args):
     server = BatchingServer(synth, host=args.host, port=args.port,
                             max_batch=args.max_batch,
                             batch_window_ms=args.window_ms,
-                            max_queue=args.max_queue)
+                            max_queue=args.max_queue,
+                            request_timeout_s=args.request_timeout)
     server.serve_forever()
 
 
@@ -269,6 +270,9 @@ def main(argv=None):
     s.add_argument("--window-ms", type=float, default=5.0)
     s.add_argument("--max-queue", type=int, default=1024,
                    help="waiting-request cap; beyond it requests get 503")
+    s.add_argument("--request-timeout", type=float, default=30.0,
+                   help="per-request deadline in seconds (queued + "
+                        "in-flight); past it the client gets 504")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser(

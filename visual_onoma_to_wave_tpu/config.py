@@ -354,6 +354,11 @@ class DatasetMetadata:
     max_pixelsize: int
     image_height: int
     label_width: dict[str, tuple[float, float, float]]
+    # how the training images' glyphs were produced ('font' | 'procedural' |
+    # 'mixed'; None in metadata written before the stamp existed) — serving
+    # warns when the serving host would render differently (ADVICE r2)
+    glyph_source: str | None = None
+    font_name: str | None = None
 
     @classmethod
     def load(cls, preprocessed_dir: str | pathlib.Path) -> "DatasetMetadata":
@@ -376,6 +381,8 @@ class DatasetMetadata:
             max_pixelsize=int(vt["max_pixelsize"][0]),
             image_height=int(vt["height"][0]),
             label_width=label_width,
+            glyph_source=(vt.get("glyph_source") or [None])[0],
+            font_name=(vt.get("font") or [None])[0],
         )
 
     def save(self, preprocessed_dir: str | pathlib.Path) -> None:
@@ -389,10 +396,15 @@ class DatasetMetadata:
                 "kurtosis": self.kurtosis_stats.to_list(),
             }, f)
         with open(d / "visual_text.json", "w") as f:
-            json.dump({
+            vt = {
                 "max_pixelsize": [self.max_pixelsize],
                 "height": [self.image_height],
-            }, f)
+            }
+            if self.glyph_source is not None:
+                vt["glyph_source"] = [self.glyph_source]
+            if self.font_name is not None:
+                vt["font"] = [self.font_name]
+            json.dump(vt, f)
         with open(d / "label_width.json", "w") as f:
             json.dump({k: list(v) for k, v in self.label_width.items()}, f)
 

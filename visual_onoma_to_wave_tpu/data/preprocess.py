@@ -497,9 +497,21 @@ class Preprocessor:
                 for t, w in zip(tasks, widths):
                     width_map[(label, t.basename)] = w
                 entire_max_width = max(entire_max_width, int(max_w))
+            # stamp how glyphs were rendered (real font vs procedural
+            # fallback) so serving can warn on a train/serve mismatch —
+            # a model trained on one glyph source sees out-of-distribution
+            # inputs under the other (ADVICE r2)
+            from visual_onoma_to_wave_tpu.data.renderer import (
+                glyph_source_for_chars)
+            corpus_chars = {c for tasks in per_label_tasks.values()
+                            for t in tasks for c in t.text}
+            glyph_source = glyph_source_for_chars(
+                self.config.path.font, self.fontsize, corpus_chars)
             with open(self.out / "visual_text.json", "w") as f:
                 json.dump({"max_pixelsize": [int(entire_max_width)],
-                           "height": [self.fontsize]}, f)
+                           "height": [self.fontsize],
+                           "glyph_source": [glyph_source],
+                           "font": [self.font_stem]}, f)
 
             # ---- pass 3: augmentation ------------------------------------------
             for label in labels:

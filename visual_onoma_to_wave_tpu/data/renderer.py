@@ -47,13 +47,50 @@ def _glyph_mask(font, ch: str, size: int) -> np.ndarray:
     return np.asarray(im)
 
 
+@lru_cache(maxsize=64)
+def _font_cmap(font_path: str):
+    """Codepoints mapped by a TrueType/OpenType font file, or None when the
+    path is not a parseable font (then the bitmap heuristic decides)."""
+    try:
+        from fontTools.ttLib import TTFont
+
+        tt = TTFont(font_path, fontNumber=0, lazy=True)
+        try:
+            return frozenset(tt.getBestCmap())
+        finally:
+            tt.close()
+    except Exception:
+        return None
+
+
 @lru_cache(maxsize=4096)
 def _has_glyph(font_path: str, fontsize: int, ch: str) -> bool:
-    """True when the font has a real glyph for ch — i.e. it does not render
-    as the same bitmap as a guaranteed-unmapped private-use codepoint."""
+    """True when the active font has a real glyph for ch.
+
+    Authoritative check = the font's own character map (some fallback fonts
+    populate the Private Use Area, so a bitmap-vs-PUA comparison alone can
+    pass tofu boxes through). Only when the configured path is not a
+    parseable font file (e.g. PIL's built-in default) fall back to comparing
+    against the render of a guaranteed-unmapped private-use codepoint."""
+    cmap = _font_cmap(font_path)
+    if cmap is not None:
+        return ord(ch) in cmap
     font = _load_font(font_path, fontsize)
     return not np.array_equal(_glyph_mask(font, ch, fontsize),
                               _glyph_mask(font, "\ue000", fontsize))
+
+
+def glyph_source_for_chars(font_path: str, fontsize: int, chars) -> str:
+    """How this host renders the given characters: 'font' (every char has a
+    real glyph), 'procedural' (none do; all use the deterministic stroke
+    patterns) or 'mixed'. Stamped into the preprocessed metadata so serving
+    can warn when a model trained on one glyph source is fed the other (the
+    two distributions are disjoint)."""
+    chars = [c for c in dict.fromkeys(chars) if not c.isspace()]
+    if not chars:
+        return "font"
+    n = sum(_has_glyph(str(font_path), int(fontsize), c) for c in chars)
+    return "font" if n == len(chars) else ("procedural" if n == 0 else "mixed")
 
 
 def _draw_procedural_glyph(draw: "ImageDraw.ImageDraw", ch: str,

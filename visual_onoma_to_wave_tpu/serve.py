@@ -21,7 +21,17 @@ Design:
   * a request that fails inside the device call is retried individually so
     it cannot fail innocent requests batched with it; malformed requests
     (types, lengths, unknown audiotypes, non-finite numbers) are rejected
-    with 400 at the HTTP edge before reaching the worker.
+    with 400 at the HTTP edge before reaching the worker;
+  * every request carries a deadline (request_timeout_s, default 30 s):
+    expired queued requests are failed with 504 without device work, and
+    the device call itself runs under a watchdog — a wedged dispatch fails
+    its group with 504 and the worker keeps serving instead of freezing
+    every client behind it (the tunneled-TPU tail-latency failure mode);
+  * /v1/batch admission is atomic (a batch is enqueued whole or 503'd
+    whole, never a half-served prefix) and cannot own the queue: a reserve
+    of slots is held back for /v1/synthesize singles;
+  * device/encode failure details are logged server-side only — clients
+    get a generic 'synthesis failed' (no internal shapes/paths leak).
 
 Endpoints:
     GET  /healthz          -> {"ok": true}
@@ -40,12 +50,15 @@ from __future__ import annotations
 import base64
 import collections
 import json
+import logging
 import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+_log = logging.getLogger("visual_onoma_to_wave_tpu.serve")
 
 MAX_TEXT_LEN = 64
 LATENCY_WINDOW = 1000      # latency samples kept for the stats quantiles
@@ -70,16 +83,16 @@ def _in_range(v, lo: float, hi: float) -> bool:
 
 class _Pending:
     __slots__ = ("req", "event", "result", "error", "error_code",
-                 "cancelled", "t0")
+                 "t0", "deadline")
 
-    def __init__(self, req: dict):
+    def __init__(self, req: dict, timeout_s: float):
         self.req = req
         self.event = threading.Event()
         self.result = None
         self.error = None
         self.error_code = 500
-        self.cancelled = False
         self.t0 = time.perf_counter()
+        self.deadline = self.t0 + timeout_s
 
 
 class BatchingServer:
@@ -87,10 +100,35 @@ class BatchingServer:
 
     def __init__(self, synthesizer, host: str = "127.0.0.1", port: int = 0,
                  max_batch: int = 32, batch_window_ms: float = 5.0,
-                 max_queue: int = 1024):
+                 max_queue: int = 1024, request_timeout_s: float = 30.0,
+                 device_timeout_s: float | None = None,
+                 batch_queue_reserve: int | None = None):
         self.synth = synthesizer
         self.max_batch = int(max_batch)
         self.window_s = float(batch_window_ms) / 1e3
+        # per-request deadline: enforced while queued (worker skips expired
+        # items without device work) and while in flight (handler returns
+        # 504 when its wait outlives the deadline)
+        self.timeout_s = float(request_timeout_s)
+        # watchdog cap on one device call; a wedged dispatch fails its group
+        # instead of freezing the singleton worker forever. Warm the
+        # executables first (warmup()) so a first-dispatch compile/upload is
+        # never mistaken for a wedge.
+        self.device_timeout_s = (float(device_timeout_s)
+                                 if device_timeout_s is not None
+                                 else self.timeout_s)
+        # the FIRST dispatch at a new (batch, text-len) bucket compiles a
+        # fresh executable (and on the tunneled TPU pays a one-time param
+        # upload, observed 1-6 min) — give it a generous cap so the watchdog
+        # never misreads a cold compile as a wedge. Signatures that have
+        # served once get the tight cap.
+        self.cold_timeout_s = max(600.0, self.device_timeout_s)
+        self._warm_sigs: set = set()
+        # queue slots held back from /v1/batch so an explicit batch can
+        # never own the whole queue and starve singles
+        self.batch_reserve = (int(batch_queue_reserve)
+                              if batch_queue_reserve is not None
+                              else max(1, int(max_queue) // 8))
         # bounded queue = backpressure: past max_queue waiting requests the
         # server answers 503 immediately instead of building unbounded
         # latency (each queued request also pins a handler thread)
@@ -102,7 +140,7 @@ class BatchingServer:
         self._submit_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
-                      "errors": 0}
+                      "errors": 0, "timeouts": 0}
         # bounded: a long-running server must not accumulate one float per
         # request forever (the quantiles only ever read the last window)
         self._latencies: collections.deque = collections.deque(
@@ -172,11 +210,26 @@ class BatchingServer:
             target=self.httpd.serve_forever, daemon=True)
         self._server_thread.start()
 
+    def warmup(self) -> None:
+        """Compile + upload the serving executable before taking traffic.
+        On the tunneled TPU platform the FIRST dispatch of a new executable
+        pays a one-time parameter upload (observed 1-6 min for big param
+        sets) — without warmup the device watchdog would misread that as a
+        wedged call and 504 the first real requests."""
+        at = next(iter(self.synth.metadata.audiotype_map))
+        t0 = time.perf_counter()
+        self.synth.synthesize_batch(["a"], [at], return_mel=False)
+        self._warm_sigs.add(self.synth.batch_signature(["a"]))
+        _log.info("warmup dispatch done in %.1fs", time.perf_counter() - t0)
+
     def serve_forever(self) -> None:
+        print("warming up the serving executable...")
+        self.warmup()
         self._worker.start()
         print(f"serving on http://{self.host}:{self.port} "
               f"(max_batch={self.max_batch}, "
-              f"window={self.window_s * 1e3:.0f}ms)")
+              f"window={self.window_s * 1e3:.0f}ms, "
+              f"timeout={self.timeout_s:.0f}s)")
         try:
             self.httpd.serve_forever()
         except KeyboardInterrupt:
@@ -215,6 +268,8 @@ class BatchingServer:
             "max_batch": self.max_batch,
             "max_text_len": MAX_TEXT_LEN,
             "max_queue": self._q.maxsize,
+            "request_timeout_s": self.timeout_s,
+            "batch_queue_reserve": self.batch_reserve,
             "width_rate_range": list(WIDTH_RATE_RANGE),
             "control_range": list(CONTROL_RANGE),
         }
@@ -280,11 +335,12 @@ class BatchingServer:
         return None
 
     def submit(self, req: dict) -> tuple[int, dict]:
-        """Queue one request for micro-batching; blocks until served."""
+        """Queue one request for micro-batching; blocks until served or
+        until the request deadline passes (-> 504)."""
         err = self._validate(req)
         if err:
             return 400, {"error": err}
-        p = _Pending(req)
+        p = _Pending(req, self.timeout_s)
         with self._submit_lock:
             if self._stop.is_set():
                 return 503, {"error": "server is shutting down"}
@@ -294,57 +350,68 @@ class BatchingServer:
                 with self._stats_lock:
                     self.stats["errors"] += 1
                 return 503, {"error": "server overloaded (queue full)"}
-        p.event.wait()
+        served = p.event.wait(
+            timeout=max(0.0, p.deadline - time.perf_counter()) + 0.05)
         with self._stats_lock:
             self.stats["requests"] += 1
             self._latencies.append(time.perf_counter() - p.t0)
-            if p.error:
+            if not served or p.error:
                 self.stats["errors"] += 1
+            if not served or p.error_code == 504:
+                self.stats["timeouts"] += 1
+        if not served:
+            # still queued or in a wedged device call past the deadline;
+            # whoever eventually sets the event finds no reader
+            return 504, {"error": "request deadline exceeded"}
         if p.error:
             return p.error_code, {"error": p.error}
         return 200, p.result
 
     def run_batch(self, items) -> tuple[int, dict]:
-        """Explicit batch: one device call for the whole list."""
+        """Explicit batch: one device call for the whole list.
+
+        Admission is all-or-nothing INSIDE the submit lock (no half-enqueued
+        prefix the worker might already be serving), and an explicit batch
+        may never take the last `batch_reserve` queue slots — those are held
+        for /v1/synthesize singles so one bulk client cannot own the queue.
+        """
         if not isinstance(items, list) or not items:
             return 400, {"error": "items must be a non-empty list"}
         for it in items:
             err = self._validate(it)
             if err:
                 return 400, {"error": err}
-        pend = [_Pending(it) for it in items]
-        overloaded = False
+        pend = [_Pending(it, self.timeout_s) for it in items]
         with self._submit_lock:
             if self._stop.is_set():
                 return 503, {"error": "server is shutting down"}
-            placed = []
+            # qsize is exact under the submit lock (all producers hold it;
+            # concurrent worker gets only FREE slots, so the check is
+            # conservative-safe)
+            free = self._q.maxsize - self._q.qsize()
+            if len(pend) > max(0, free - self.batch_reserve):
+                with self._stats_lock:
+                    self.stats["errors"] += len(pend)
+                return 503, {"error": "server overloaded (queue full)"}
             for p in pend:
-                try:
-                    self._q.put_nowait(p)
-                    placed.append(p)
-                except queue.Full:
-                    overloaded = True
-                    break
-        if overloaded:
-            # fail the whole explicit batch atomically: cancel the already
-            # enqueued prefix (the worker finishes cancelled items WITHOUT
-            # device work) and error the rest
-            for r in pend:
-                r.cancelled = True
-            for r in pend[len(placed):]:
-                r.error = "server overloaded (queue full)"
-                r.event.set()
-            for r in placed:
-                r.event.wait()
-            with self._stats_lock:
-                self.stats["errors"] += len(pend)
-            return 503, {"error": "server overloaded (queue full)"}
+                self._q.put_nowait(p)
+        deadline = pend[0].deadline
+        timed_out = False
         for p in pend:
-            p.event.wait()
+            if not p.event.wait(
+                    timeout=max(0.0, deadline - time.perf_counter()) + 0.05):
+                timed_out = True
+                break
         with self._stats_lock:
             self.stats["requests"] += len(pend)
             self._latencies.extend(
                 time.perf_counter() - p.t0 for p in pend)
+            n_err = sum(1 for p in pend if p.error) if not timed_out else len(pend)
+            self.stats["errors"] += n_err
+            if timed_out:
+                self.stats["timeouts"] += 1
+        if timed_out:
+            return 504, {"error": "request deadline exceeded"}
         first_err = next((p for p in pend if p.error), None)
         if first_err is not None:
             return first_err.error_code, {"error": first_err.error}
@@ -370,37 +437,95 @@ class BatchingServer:
                 # e/d controls are per-item traced inputs, so ANY mix of
                 # requests shares one device batch — no grouping, no
                 # re-queueing, no starvation of minority control values
-                deadline = time.perf_counter() + self.window_s
+                window_end = time.perf_counter() + self.window_s
                 while len(group) < self.max_batch:
-                    left = deadline - time.perf_counter()
+                    left = window_end - time.perf_counter()
                     if left <= 0:
                         break
                     try:
                         group.append(self._q.get(timeout=left))
                     except queue.Empty:
                         break
-                self._serve_group(group)
+                # expired-while-queued requests get 504 with NO device work
+                # (their handler threads have already answered or will on
+                # their own wait timeout)
+                now = time.perf_counter()
+                for p in group:
+                    if p.deadline < now:
+                        p.error = "request deadline exceeded"
+                        p.error_code = 504
+                        p.event.set()
+                group = [p for p in group if not p.event.is_set()]
+                if group:
+                    self._serve_group(group)
             except Exception as e:  # pragma: no cover - defensive
                 # whatever happened, EVERY member of the collected group
                 # must be released — a missed event hangs that client forever
+                _log.exception("worker loop error", exc_info=e)
                 for p in group:
                     if not p.event.is_set():
-                        p.error = p.error or f"{type(e).__name__}: {e}"
+                        p.error = p.error or "synthesis failed"
                         p.event.set()
 
     def _serve_group(self, group: list[_Pending],
                      record_stats: bool = True) -> None:
-        from visual_onoma_to_wave_tpu.data.audio_io import wav_bytes
-
-        # cancelled items (run_batch overload rollback) take no device work
-        live = [p for p in group if not p.cancelled]
-        for p in group:
-            if p.cancelled:
-                p.error = "cancelled"
-                p.error_code = 503
-                p.event.set()
-        if not live:
+        live = group
+        outcome: dict = {}
+        sig = self.synth.batch_signature([p.req["text"] for p in live])
+        timeout = (self.device_timeout_s if sig in self._warm_sigs
+                   else self.cold_timeout_s)
+        call = threading.Thread(
+            target=self._device_call, args=(live, outcome), daemon=True,
+            name="vow-serve-device-call")
+        call.start()
+        call.join(timeout=timeout)
+        if call.is_alive():
+            # wedged device call (the tunneled-TPU stall mode: dispatches
+            # observed to take 0.2 s .. minutes, docs/PERF.md): fail this
+            # group and keep the worker alive. The stuck thread eventually
+            # finishes into `outcome`, which nobody reads — `live` is never
+            # touched by it after this point (_device_call only fills
+            # `outcome`).
+            _log.error("device call exceeded %.1fs for a %d-item group; "
+                       "failing the group", timeout, len(live))
+            for p in live:
+                p.error = "synthesis timed out"
+                p.error_code = 504
+            self._finish(live, record_stats)
             return
+        self._warm_sigs.add(sig)   # executable exists now; tight cap next
+        if "exc" in outcome:
+            e = outcome["exc"]
+            # full details server-side only; clients get a generic message
+            # (exception text can carry internal shapes/paths)
+            _log.exception("synthesis failed for a %d-item group",
+                           len(live), exc_info=e)
+            if len(live) > 1:
+                # isolate the fault: retry items individually so one bad
+                # request cannot fail the innocent requests batched with it.
+                # Retries don't count as batches (stats would otherwise
+                # collapse mean_batch_size toward 1 on a transient failure).
+                for p in live:
+                    self._serve_group([p], record_stats=False)
+                if record_stats:  # the original batch counts exactly once
+                    with self._stats_lock:
+                        self.stats["batches"] += 1
+                        self.stats["batched_requests"] += len(live)
+                return
+            live[0].result = None
+            live[0].error = "synthesis failed"
+        else:
+            for p, r in zip(live, outcome["results"]):
+                p.result = r
+        self._finish(live, record_stats)
+
+    def _device_call(self, live: list[_Pending], outcome: dict) -> None:
+        """Run one micro-batch through the device and build the JSON
+        responses into `outcome` ({"results": [...]} or {"exc": e}). Runs on
+        a short-lived thread so the worker can watchdog it; it writes ONLY
+        to `outcome`, so a timed-out call can never race the worker on the
+        _Pending objects."""
+        from visual_onoma_to_wave_tpu.data.audio_io import wav_bytes
 
         sr = self.synth.config.audio.sampling_rate
         hop = self.synth.config.audio.stft.hop_length
@@ -416,32 +541,17 @@ class BatchingServer:
                 return_mel=False)
             # response building stays inside the try: an encode failure must
             # route through the same isolation/error path as a device one
-            for p, r in zip(live, results):
-                p.result = {
-                    "sample_rate": sr,
-                    "mel_frames": int(r.mel_len),
-                    "durations": [int(d) for d in r.durations],
-                    "seconds": float(r.mel_len * hop / sr),
-                    "wav_b64": (base64.b64encode(
-                        wav_bytes(np.asarray(r.wav), sr)).decode()
-                        if r.wav is not None else None),
-                }
+            outcome["results"] = [{
+                "sample_rate": sr,
+                "mel_frames": int(r.mel_len),
+                "durations": [int(d) for d in r.durations],
+                "seconds": float(r.mel_len * hop / sr),
+                "wav_b64": (base64.b64encode(
+                    wav_bytes(np.asarray(r.wav), sr)).decode()
+                    if r.wav is not None else None),
+            } for r in results]
         except Exception as e:
-            if len(live) > 1:
-                # isolate the fault: retry items individually so one bad
-                # request cannot fail the innocent requests batched with it.
-                # Retries don't count as batches (stats would otherwise
-                # collapse mean_batch_size toward 1 on a transient failure).
-                for p in live:
-                    self._serve_group([p], record_stats=False)
-                if record_stats:  # the original batch counts exactly once
-                    with self._stats_lock:
-                        self.stats["batches"] += 1
-                        self.stats["batched_requests"] += len(live)
-                return
-            live[0].result = None
-            live[0].error = f"{type(e).__name__}: {e}"
-        self._finish(live, record_stats)
+            outcome["exc"] = e
 
     def _finish(self, group: list[_Pending], record_stats: bool = True) -> None:
         if record_stats:

@@ -49,6 +49,7 @@ class Synthesizer:
         self.use_image = config.train.use_image
         self.cell_width = metadata.max_pixelsize
         self.renderer = VisualTextRenderer.from_config(config)
+        self._check_glyph_source()
         self._synth_step = make_synth_step(model, self.use_image)
         self._fused_step = None
         # pad text/mel to small buckets to bound jit specializations
@@ -109,6 +110,29 @@ class Synthesizer:
                            batch_stats=batch_stats, opt_state=None)
         vocoder_params = load_params(vocoder) if vocoder is not None else None
         return cls(config, model, state, metadata, symbol_map, vocoder_params)
+
+    def _check_glyph_source(self) -> None:
+        """Warn when this host would render the training vocabulary with a
+        different glyph source (real font vs procedural fallback) than the
+        one the model was trained on — the two pixel distributions are
+        disjoint, so mixing them silently degrades the glyph-identity
+        conditioning (metadata stamp written by the Preprocessor)."""
+        trained = self.metadata.glyph_source
+        if not self.use_image or trained is None:
+            return
+        from visual_onoma_to_wave_tpu.data.renderer import (
+            glyph_source_for_chars)
+        here = glyph_source_for_chars(
+            self.config.path.font, self.renderer.fontsize,
+            [c for c in self.symbol_map if len(c) == 1])
+        if here != trained:
+            import warnings
+            warnings.warn(
+                f"glyph-source mismatch: the model was trained on "
+                f"{trained!r} glyphs (font {self.metadata.font_name!r}) but "
+                f"this host renders the vocabulary as {here!r} — synthesized "
+                f"inputs are out-of-distribution. Install the training font "
+                f"(config.path.font) or retrain.")
 
     def _encode(self, text: str) -> np.ndarray:
         """Text -> ids. On the image path token ids are unused by the model
@@ -201,6 +225,18 @@ class Synthesizer:
     # ------------------------------------------------------------------
     # batched serving path
     # ------------------------------------------------------------------
+    def batch_signature(self, texts: Sequence[str]) -> tuple[int, int]:
+        """(padded_batch, padded_text_len) bucket a batch of texts will be
+        dispatched at — the executable-specialization key. The serving
+        watchdog uses it to tell a first-compile dispatch (slow once per
+        signature) from a wedged device call."""
+        bsz = len(texts)
+        b_pad = max(1, 1 << (bsz - 1).bit_length())       # pow2 batch bucket
+        n_max = max(len(t) for t in texts)
+        C = ((n_max + self.text_bucket - 1)
+             // self.text_bucket) * self.text_bucket
+        return b_pad, C
+
     def _get_fused_step(self):
         """Acoustic forward + vocoder in ONE jit executable (the serving hot
         path). Halves device dispatches per served batch and keeps the padded
@@ -290,9 +326,7 @@ class Synthesizer:
         bsz = len(texts)
         if width_rates is None:
             width_rates = [None] * bsz
-        b_pad = max(1, 1 << (bsz - 1).bit_length())       # pow2 batch bucket
-        n_max = max(len(t) for t in texts)
-        C = ((n_max + self.text_bucket - 1) // self.text_bucket) * self.text_bucket
+        b_pad, C = self.batch_signature(texts)
 
         ids = np.zeros((b_pad,), np.int32)
         text_ids = np.zeros((b_pad, C), np.int32)

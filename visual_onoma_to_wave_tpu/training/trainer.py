@@ -243,11 +243,33 @@ class Trainer:
         mel_pred = np.asarray(out["postnet_mel"][0])
         mel_len = int(out["mel_lens"][0])
         gt_len = int(batch["mel_lens"][0])
-        from visual_onoma_to_wave_tpu.utils.plotting import plot_mel
+        from visual_onoma_to_wave_tpu.utils.plotting import (
+            expand_char_values, plot_mel)
+        # target-energy contour expanded by the target durations, identical
+        # on both panels, char boundaries as dotted vlines, energy axis
+        # pinned to the corpus stats — the reference's mel+energy figure
+        # (reference utils/tools.py:180-241 synth_one_sample, :243-303)
+        energies = char_breaks = energy_ylim = None
+        if "energies" in batch:
+            n_src = int(batch["src_lens"][0])
+            dur = np.asarray(batch["durations"][0][:n_src])
+            e = expand_char_values(
+                np.asarray(batch["energies"][0][:n_src]), dur)
+            energies = [e[:max(mel_len, 1)], e[:gt_len]]
+            char_breaks = [np.insert(np.cumsum(dur), 0, 0)] * 2
+            es = self.metadata.energy_stats
+            energy_ylim = (es.min, es.max)
+        strip = None
+        if "image_cells" in batch:
+            n_src = int(batch["src_lens"][0])
+            cells = np.asarray(batch["image_cells"][0][:n_src])  # (C, H, W)
+            strip = (cells.transpose(1, 0, 2).reshape(cells.shape[1], -1)
+                     * 255).astype(np.uint8)
         fig = plot_mel([
             (mel_pred[:max(mel_len, 1)], f"synthesized (step {step})"),
             (batch["mels"][0][:gt_len], "ground truth"),
-        ])
+        ], energies=energies, char_breaks=char_breaks,
+            energy_ylim=energy_ylim, input_image=strip)
         self.train_log.figure(step, "Synth/mel", fig)
         if self.vocoder_params is not None:
             from visual_onoma_to_wave_tpu.models.vocoder import (

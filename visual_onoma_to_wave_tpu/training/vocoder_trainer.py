@@ -10,7 +10,11 @@ TPU-first design:
     discriminator update on stop-gradient'd audio, then the generator
     update (adversarial + feature-matching + 45x mel L1) reusing the same
     generated waveform, exactly the official update order (hifi-gan
-    train.py). Both Adam states live in a single donated TrainState, so
+    train.py). The generator runs ONCE per step: its forward's jax.vjp is
+    saved across the D update and closed by the G update (gen_params are
+    untouched by the D step, so this is numerically identical to the
+    recompute formulation — pinned by a test — minus one full G forward
+    of FLOPs). Both Adam states live in a single donated TrainState, so
     the update is in-place in HBM.
   * The mel loss recomputes log-mel from waveforms inside the step with
     the framework's own fused DSP (`ops/stft.logmel_and_energy`) — the
@@ -233,9 +237,12 @@ def make_gan_train_step(gen: HiFiGANGenerator,
         loss_s = discriminator_loss(sr, sg)
         return loss_p + loss_s, {"d_mpd": loss_p, "d_msd": loss_s}
 
-    def gen_loss_fn(gparams, dparams, mel_in, mel_target, y):
+    def gen_loss_of_yhat(y_hat, dparams, mel_target, y):
+        """Generator loss as a function of the generated WAVEFORM (not the
+        generator params): lets the step reuse the single G forward from the
+        D phase — grads w.r.t. gen_params come from chaining this loss's
+        d(loss)/d(y_hat) through the saved jax.vjp of that forward."""
         mpd_p, msd_p = dparams
-        y_hat = gen.apply(gparams, mel_in.swapaxes(1, 2))  # (B, Tseg)
         mel_hat = mel_of(y_hat)
         mel_l1 = jnp.mean(jnp.abs(mel_hat - mel_target))
         pr, pg, fpr, fpg = mpd.apply({"params": mpd_p}, y, y_hat)
@@ -244,7 +251,7 @@ def make_gan_train_step(gen: HiFiGANGenerator,
         fm = feature_matching_loss(fpr, fpg) + feature_matching_loss(fsr, fsg)
         total = adv + fm + cfg.mel_loss_weight * mel_l1
         aux = {"g_adv": adv, "g_fm": fm, "mel_l1": mel_l1, "g_total": total}
-        return total, (aux, y_hat)
+        return total, aux
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: GANTrainState, audio: jnp.ndarray, mel=None):
@@ -259,8 +266,13 @@ def make_gan_train_step(gen: HiFiGANGenerator,
         mel_target = mel_of(audio)                      # (B, n_mels, T)
         mel_in = mel_target if mel is None else mel
 
-        # generated audio for the D update (G is frozen here)
-        y_hat = gen.apply(state.gen_params, mel_in.swapaxes(1, 2))
+        # ONE generator forward serves both phases: its value feeds the D
+        # update (G frozen there), and its saved vjp closes the G update —
+        # gen_params are unchanged by the D step, so this is numerically
+        # identical to recomputing the forward inside the G loss, minus a
+        # full G forward of FLOPs per step.
+        y_hat, gen_vjp = jax.vjp(
+            lambda gp: gen.apply(gp, mel_in.swapaxes(1, 2)), state.gen_params)
         y_hat_sg = jax.lax.stop_gradient(y_hat)
 
         (d_total, d_aux), d_grads = jax.value_and_grad(
@@ -271,11 +283,12 @@ def make_gan_train_step(gen: HiFiGANGenerator,
         mpd_params, msd_params = optax.apply_updates(
             (state.mpd_params, state.msd_params), d_updates)
 
-        # G update against the freshly-updated discriminators
-        (g_total, (g_aux, _)), g_grads = jax.value_and_grad(
-            gen_loss_fn, has_aux=True)(
-                state.gen_params, (mpd_params, msd_params), mel_in,
-                mel_target, audio)
+        # G update against the freshly-updated discriminators:
+        # d(loss)/d(y_hat) chained through the saved forward's vjp
+        (g_total, g_aux), g_grad_yhat = jax.value_and_grad(
+            gen_loss_of_yhat, has_aux=True)(
+                y_hat, (mpd_params, msd_params), mel_target, audio)
+        (g_grads,) = gen_vjp(g_grad_yhat)
         g_updates, gen_opt = gen_tx.update(
             g_grads, state.gen_opt, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, g_updates)
