@@ -35,17 +35,67 @@ class SynthesisResult:
     mel_len: Optional[int] = None      # predicted mel frames (>=1 clamped)
 
 
+def make_fused_infer(model, gen, use_image: bool, is_melgan: bool = False):
+    """Acoustic forward + vocoder in ONE jit executable — the serving hot
+    path shared by `Synthesizer` and the mesh helper
+    `parallel.serving.make_sharded_synth`.
+
+    e/d controls are TRACED inputs (scalar or per-item (B,) array): any mix
+    of client control values shares one executable AND one device batch —
+    a per-value static control would recompile per request (an
+    input-triggered DoS, docs/PERF.md). MelGAN-family generators consume
+    log10 mels (reference utils/model.py:77), handled here so every caller
+    gets the domain conversion.
+
+    Sharding is carried by the INPUTS: params placed replicated and the
+    batch placed batch-sharded over a mesh make this one executable run
+    SPMD over the mesh with zero collectives (requests are embarrassingly
+    parallel); uncommitted single-device inputs run it single-device.
+    """
+    from visual_onoma_to_wave_tpu.models.melgan import LN10
+
+    @jax.jit
+    def fused(variables, vocoder_params, batch, e_control=1.0, d_control=1.0):
+        out = model.apply(
+            variables,
+            audiotypes=batch["audiotypes"], texts=batch["texts"],
+            src_lens=batch["src_lens"],
+            image_cells=batch.get("image_cells"),
+            use_image=use_image, e_control=e_control,
+            d_control=d_control, deterministic=True)
+        mel = out["postnet_mel"]
+        wav = gen.apply(vocoder_params, mel / LN10 if is_melgan else mel)
+        return {**out, "wav": wav}
+
+    return fused
+
+
 class Synthesizer:
     def __init__(self, config: Config, model, state: TrainState,
                  metadata: DatasetMetadata, symbol_map: dict[str, int],
-                 vocoder_params=None, vocoder=None):
+                 vocoder_params=None, vocoder=None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a `data` axis. When given
+        (size > 1), every synthesize_batch call is sharded over it: params
+        replicated once at construction, the padded batch placed with its
+        batch axis over the mesh — serving then uses EVERY chip of a pod,
+        not one (the TPU-native analog of serving behind the reference's
+        nn.DataParallel, 04_train.py:75)."""
         self.config = config
         self.model = model
-        self.state = state
         self.metadata = metadata
         self.symbol_map = symbol_map
-        self.vocoder_params = vocoder_params
         self.vocoder = vocoder
+        self.mesh = mesh if (mesh is not None
+                             and getattr(mesh, "size", 1) > 1) else None
+        if self.mesh is not None:
+            from visual_onoma_to_wave_tpu.parallel.mesh import (
+                replicate_sharding)
+            rep = replicate_sharding(self.mesh)
+            state = jax.device_put(state, rep)
+            if vocoder_params is not None:
+                vocoder_params = jax.device_put(vocoder_params, rep)
+        self.state = state
+        self.vocoder_params = vocoder_params
         self.use_image = config.train.use_image
         self.cell_width = metadata.max_pixelsize
         self.renderer = VisualTextRenderer.from_config(config)
@@ -63,6 +113,7 @@ class Synthesizer:
         acoustic: Optional[str] = None,
         vocoder: Optional[str] = None,
         restore_step: Optional[int] = None,
+        mesh="auto",
     ) -> "Synthesizer":
         """Standalone serving entry: load metadata + vocabulary + params
         without constructing a Trainer (no train dataset, no optimizer, no
@@ -79,6 +130,11 @@ class Synthesizer:
         the Trainer and into the preprocessed dir by the Preprocessor); the
         split txt files are only a fallback, so serving works with no
         train.txt present.
+
+        mesh: "auto" (default) builds a data mesh over ALL local devices
+        when more than one is visible, so `cli serve`/`cli demo` use every
+        chip of a multi-chip host with no flags; an int takes the first N
+        devices; None forces single-device; a prebuilt Mesh is used as-is.
         """
         import jax.numpy as jnp
 
@@ -109,7 +165,13 @@ class Synthesizer:
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            batch_stats=batch_stats, opt_state=None)
         vocoder_params = load_params(vocoder) if vocoder is not None else None
-        return cls(config, model, state, metadata, symbol_map, vocoder_params)
+        if mesh == "auto" or isinstance(mesh, int):
+            from visual_onoma_to_wave_tpu.parallel.mesh import get_mesh
+            import jax as _jax
+            n = len(_jax.devices()) if mesh == "auto" else int(mesh)
+            mesh = get_mesh(n) if n > 1 else None
+        return cls(config, model, state, metadata, symbol_map, vocoder_params,
+                   mesh=mesh)
 
     def _check_glyph_source(self) -> None:
         """Warn when this host would render the training vocabulary with a
@@ -201,6 +263,15 @@ class Synthesizer:
         # traced arrays, matching the batch path's executable signature.
         e_ctl = jnp.asarray([e_control], jnp.float32)
         d_ctl = jnp.asarray([d_control], jnp.float32)
+        if self.mesh is not None:
+            # a single item cannot shard over the mesh the params live on:
+            # replicate it (the batch path is the throughput surface)
+            from visual_onoma_to_wave_tpu.parallel.mesh import (
+                replicate_sharding)
+            rep = replicate_sharding(self.mesh)
+            batch = {k: jax.device_put(v, rep) for k, v in batch.items()}
+            e_ctl = jax.device_put(e_ctl, rep)
+            d_ctl = jax.device_put(d_ctl, rep)
         if self.vocoder_params is not None:
             out = self._get_fused_step()(
                 self.state, self.vocoder_params, batch,
@@ -232,6 +303,10 @@ class Synthesizer:
         signature) from a wedged device call."""
         bsz = len(texts)
         b_pad = max(1, 1 << (bsz - 1).bit_length())       # pow2 batch bucket
+        if self.mesh is not None:
+            # sharding needs the batch axis divisible by the mesh
+            n = self.mesh.size
+            b_pad = ((b_pad + n - 1) // n) * n
         n_max = max(len(t) for t in texts)
         C = ((n_max + self.text_bucket - 1)
              // self.text_bucket) * self.text_bucket
@@ -247,31 +322,20 @@ class Synthesizer:
         (model(...) then vocoder_infer, utils/model.py:73-98)."""
         if self._fused_step is not None:
             return self._fused_step
-        from visual_onoma_to_wave_tpu.models.melgan import (
-            LN10, MelGANGenerator)
+        from visual_onoma_to_wave_tpu.models.melgan import MelGANGenerator
         gen = self._vocoder_module()
-        # MelGAN consumes log10 mels (reference utils/model.py:77)
-        is_melgan = isinstance(gen, MelGANGenerator)
-        model, use_image = self.model, self.use_image
+        fused = make_fused_infer(
+            self.model, gen, self.use_image,
+            is_melgan=isinstance(gen, MelGANGenerator))
 
-        # e/d controls are TRACED (scalar or per-item (B,) array): any mix of
-        # client control values shares one executable AND one device batch
-        @jax.jit
-        def fused(state, vocoder_params, batch,
-                  e_control=1.0, d_control=1.0):
-            out = model.apply(
+        def run(state, vocoder_params, batch, e_control=1.0, d_control=1.0):
+            return fused(
                 {"params": state.params, "batch_stats": state.batch_stats},
-                audiotypes=batch["audiotypes"], texts=batch["texts"],
-                src_lens=batch["src_lens"],
-                image_cells=batch.get("image_cells"),
-                use_image=use_image, e_control=e_control,
-                d_control=d_control, deterministic=True)
-            mel = out["postnet_mel"]
-            wav = gen.apply(vocoder_params, mel / LN10 if is_melgan else mel)
-            return {**out, "wav": wav}
+                vocoder_params, batch, e_control=e_control,
+                d_control=d_control)
 
-        self._fused_step = fused
-        return fused
+        self._fused_step = run
+        return run
 
     def _vocoder_module(self):
         """The configured generator module (family + any architecture
@@ -351,20 +415,33 @@ class Synthesizer:
                 images.append(None)
 
         batch = {
-            "audiotypes": jnp.asarray(ids),
-            "texts": jnp.asarray(text_ids),
-            "src_lens": jnp.asarray(src_lens),
+            "audiotypes": np.asarray(ids),
+            "texts": np.asarray(text_ids),
+            "src_lens": np.asarray(src_lens),
         }
         if self.use_image:
-            batch["image_cells"] = jnp.asarray(cells)
+            batch["image_cells"] = cells
 
         # controls as (b_pad,) arrays: scalar or per-item, ONE executable
         def _ctl(c):
             col = np.ones((b_pad,), np.float32)
             col[:bsz] = np.asarray(c, np.float32)  # scalar broadcasts
-            return jnp.asarray(col)
+            return col
 
         e_ctl, d_ctl = _ctl(e_control), _ctl(d_control)
+        if self.mesh is not None:
+            # commit the batch axis over the data mesh: with the params
+            # replicated (ctor) XLA runs the fused executable SPMD across
+            # every device — per-chip work is b_pad/mesh.size items and the
+            # 256x-upsampled waveform never materializes on one chip
+            from visual_onoma_to_wave_tpu.parallel.mesh import batch_sharding
+            shard = batch_sharding(self.mesh)
+            batch = {k: jax.device_put(v, shard) for k, v in batch.items()}
+            e_ctl = jax.device_put(e_ctl, shard)
+            d_ctl = jax.device_put(d_ctl, shard)
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            e_ctl, d_ctl = jnp.asarray(e_ctl), jnp.asarray(d_ctl)
         if self.vocoder_params is not None:
             out = self._get_fused_step()(
                 self.state, self.vocoder_params, batch,
