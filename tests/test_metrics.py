@@ -1,0 +1,135 @@
+"""Objective quality metrics (metrics.py): DCT/cepstra correctness, MCD
+identities, DTW alignment behavior, and the Trainer.evaluate(metrics=True)
+wiring. The reference has no machine-checkable quality metric (its
+evaluate.py only logs audio for human listening) — these pin ours."""
+import numpy as np
+import pytest
+
+from test_trainer_synthesis import tiny_env  # noqa: F401 (fixture reuse)
+
+from visual_onoma_to_wave_tpu.metrics import (
+    MCD_K,
+    batch_quality_metrics,
+    dtw_path,
+    mcd_dtw,
+    mcd_frames,
+    mel_cepstra,
+    mel_l1,
+)
+
+
+def test_mel_cepstra_matches_scipy_dct():
+    """Our DCT-II basis (orthonormal) equals scipy's, c0 dropped."""
+    scipy = pytest.importorskip("scipy")
+    from scipy.fftpack import dct
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(7, 80))
+    ours = mel_cepstra(x, n_coeffs=13)
+    ref = dct(x, type=2, norm="ortho", axis=-1)[:, 1:14]
+    np.testing.assert_allclose(ours, ref, atol=1e-12)
+
+
+def test_mcd_identities():
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(20, 80))
+    assert mcd_frames(a, a) == 0.0
+    # the pairwise-distance expansion |x|^2+|y|^2-2xy rounds to ~1e-13,
+    # sqrt turns that into ~1e-7 — identical inputs are near-zero, not zero
+    assert mcd_dtw(a, a) < 1e-6
+    assert mel_l1(a, a) == 0.0
+    # a constant offset lives entirely in c0, which MCD excludes
+    assert mcd_frames(a + 3.0, a) < 1e-9
+    # but mel_l1 sees it
+    assert mel_l1(a + 3.0, a) == pytest.approx(3.0)
+
+
+def test_mcd_known_value():
+    """A perturbation along a single DCT basis vector has a closed form:
+    per-frame cepstral distance == |amplitude| (orthonormal basis)."""
+    from visual_onoma_to_wave_tpu.metrics import _dct_matrix
+
+    M, T, amp = 80, 12, 0.25
+    basis = _dct_matrix(M, 13)
+    base = np.zeros((T, M))
+    pred = base + amp * basis[5]  # c5 direction
+    expected = MCD_K * amp
+    assert mcd_frames(pred, base) == pytest.approx(expected, rel=1e-9)
+
+
+def test_mcd_shape_mismatch_raises():
+    a, b = np.zeros((10, 80)), np.zeros((12, 80))
+    with pytest.raises(ValueError):
+        mcd_frames(a, b)
+    with pytest.raises(ValueError):
+        mel_l1(a, b)
+
+
+def test_dtw_aligns_time_stretched_copy():
+    """A 2x frame-repeated mel DTW-aligns to its original with ~zero
+    distortion; a shuffled one does not."""
+    rng = np.random.default_rng(2)
+    gt = rng.normal(size=(15, 80))
+    stretched = np.repeat(gt, 2, axis=0)
+    assert mcd_dtw(stretched, gt) < 1e-6
+    shuffled = gt[rng.permutation(15)]
+    assert mcd_dtw(shuffled, gt) > 1.0
+
+
+def test_dtw_path_monotone_and_complete():
+    rng = np.random.default_rng(3)
+    cost = rng.uniform(size=(9, 14))
+    pi, pj = dtw_path(cost)
+    assert pi[0] == 0 and pj[0] == 0
+    assert pi[-1] == 8 and pj[-1] == 13
+    assert np.all(np.diff(pi) >= 0) and np.all(np.diff(pj) >= 0)
+    assert np.all((np.diff(pi) + np.diff(pj)) >= 1)  # always advances
+
+
+def test_dtw_is_optimal_on_small_instance():
+    """Brute-force check on a tiny cost matrix."""
+    cost = np.array([[1.0, 9.0, 9.0],
+                     [9.0, 1.0, 9.0],
+                     [9.0, 9.0, 1.0]])
+    pi, pj = dtw_path(cost)
+    # the diagonal is the unique cheap path
+    np.testing.assert_array_equal(pi, [0, 1, 2])
+    np.testing.assert_array_equal(pj, [0, 1, 2])
+
+
+def test_batch_quality_metrics_masks_padding():
+    rng = np.random.default_rng(4)
+    B, T, M = 2, 10, 8
+    gt = rng.normal(size=(B, T, M))
+    gt_lens = np.array([6, 10])
+    tf = gt.copy()
+    tf[:, 6:] += 100.0  # corrupt item-0 padding only
+    gt_lens_arr = gt_lens
+    fr = gt.copy()
+    fr_lens = gt_lens.copy()
+    sums = batch_quality_metrics(tf, fr, fr_lens, gt, gt_lens_arr)
+    # item 0's corrupted frames are beyond its length -> only item 1's
+    # (clean) frames count; but tf[1, 6:] was also corrupted and IS inside
+    # item 1's length 10, so mel_l1 > 0 while item 0 contributes 0
+    per_item_0 = mel_l1(tf[0, :6], gt[0, :6])
+    assert per_item_0 == 0.0
+    assert sums["mel_l1"] > 0.0
+    assert sums["mcd_dtw"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_trainer_evaluate_metrics(tiny_env):  # noqa: F811
+    """evaluate(metrics=True) returns finite mel_l1/mcd/mcd_dtw alongside
+    the losses; evaluate() without metrics keeps the legacy keys only."""
+    from visual_onoma_to_wave_tpu.training.trainer import Trainer
+
+    trainer = Trainer(tiny_env, use_mesh=False)
+    try:
+        means = trainer.evaluate(metrics=True)
+        for k in ("mel_l1", "mcd", "mcd_dtw"):
+            assert k in means and np.isfinite(means[k]), (k, means)
+            assert means[k] >= 0.0
+        assert "total_loss" in means
+        legacy = trainer.evaluate()
+        assert "mcd" not in legacy
+    finally:
+        trainer.ckpt.close()

@@ -76,7 +76,8 @@ def cmd_train(args):
         vocoder_params = load_params(args.vocoder)
     trainer = Trainer(cfg, restore_step=args.restore_step,
                       vocoder_params=vocoder_params,
-                      profile_dir=args.profile_dir)
+                      profile_dir=args.profile_dir,
+                      loader_workers=args.loader_workers)
     trainer.train(max_steps=args.max_steps)
 
 
@@ -84,7 +85,7 @@ def cmd_evaluate(args):
     from visual_onoma_to_wave_tpu.training.trainer import Trainer
     cfg = load_config(args.config)
     trainer = Trainer(cfg, restore_step=args.restore_step)
-    losses = trainer.evaluate()
+    losses = trainer.evaluate(metrics=args.metrics)
     print(json.dumps(losses))
 
 
@@ -220,11 +221,19 @@ def main(argv=None):
                    help="converted vocoder params dir for synth samples")
     s.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace (steps 10-15) here")
+    s.add_argument("--loader-workers", type=int, default=None,
+                   help="batch-loader worker processes (default: min(10, "
+                        "cpus); <=1 or small hosts load serially behind a "
+                        "prefetch thread — reference num_workers=10)")
     s.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("evaluate", help="validation losses (evaluate.py)")
     s.add_argument("config")
     s.add_argument("--restore-step", type=int, default=None)
+    s.add_argument("--metrics", action="store_true",
+                   help="also compute objective quality metrics: "
+                        "teacher-forced mel_l1 + MCD and free-running "
+                        "DTW-aligned MCD (dB)")
     s.set_defaults(fn=cmd_evaluate)
 
     s = sub.add_parser("synthesize", help="text -> wav (prediction.ipynb)")

@@ -178,27 +178,50 @@ class OnomaDataset:
             batch["image_cells"] = cells.astype(np.float32) / 255.0
         return batch
 
-    def batches(self, group_size: int = 4, seed: int | None = None,
-                shuffle: bool = True):
-        """Yield static-shaped batch dicts.
+    def batch_plan(self, group_size: int = 4, seed: int | None = None,
+                   shuffle: bool = True) -> list[list[int]]:
+        """The epoch's exact batch composition as row-index lists, computed
+        from METADATA ONLY (no feature files touched).
 
-        Pools group_size*batch_size samples, sorts the pool by text length
+        Pools group_size*batch_size rows, sorts the pool by text length
         (when self.sort) and slices into batches — the reference's
-        collate_fn strategy, which minimizes padding waste per batch.
+        collate_fn strategy, which minimizes padding waste per batch. The
+        sort key is the encoded text length, which equals the cleaned
+        metadata text length (symbols.encode_text is one id per char), so
+        the plan is exact without loading a single sample — this is what
+        lets worker processes load batches independently (data/loader.py).
         """
         order = np.arange(len(self.rows))
         if shuffle:
             rng = np.random.default_rng(
                 seed if seed is not None else self.config.train.seed)
             rng.shuffle(order)
+
+        def text_len(i: int) -> int:
+            t = self.rows[i][4]
+            return len(t.replace("{", "").replace("}", ""))
+
+        plan: list[list[int]] = []
         pool_size = group_size * self.batch_size
         for start in range(0, len(order), pool_size):
-            pool_idx = order[start : start + pool_size]
-            pool = [self[int(i)] for i in pool_idx]
+            pool_idx = [int(i) for i in order[start : start + pool_size]]
             if self.sort:
-                pool.sort(key=lambda s: -len(s.text_ids))
-            for b in range(0, len(pool), self.batch_size):
-                chunk = pool[b : b + self.batch_size]
+                pool_idx.sort(key=lambda i: -text_len(i))  # stable, like
+                # the Sample-object sort it replaces
+            for b in range(0, len(pool_idx), self.batch_size):
+                chunk = pool_idx[b : b + self.batch_size]
                 if len(chunk) < self.batch_size and self.drop_last:
                     continue
-                yield self.collate(chunk)
+                plan.append(chunk)
+        return plan
+
+    def load_batch(self, idx_list: list[int]) -> dict:
+        """Load + collate one planned batch (the per-batch worker unit)."""
+        return self.collate([self[i] for i in idx_list])
+
+    def batches(self, group_size: int = 4, seed: int | None = None,
+                shuffle: bool = True):
+        """Yield static-shaped batch dicts (serial; see data/loader.py for
+        the process-parallel epoch iterator)."""
+        for chunk in self.batch_plan(group_size, seed, shuffle):
+            yield self.load_batch(chunk)

@@ -1,0 +1,138 @@
+"""Objective synthesis-quality metrics: mel-cepstral distortion + mel L1.
+
+The reference's only quality signal is human TensorBoard listening
+(reference scripts/evaluate.py:58-103 logs audio pairs for a person to
+judge); these give "matches the reference" a machine-checkable number.
+
+Two alignment regimes, both reported by `Trainer.evaluate(metrics=True)`
+(`cli evaluate --metrics`):
+
+* teacher-forced — the model is driven by ground-truth durations (the
+  eval_step forward), so predicted and target mels are frame-aligned and
+  compare directly;
+* free-running — the model predicts its own durations (the synth_step
+  forward), lengths differ, and frames are aligned by dynamic time
+  warping on the cepstral distance matrix (the standard TTS evaluation
+  protocol, Kubichek 1993).
+
+MCD here is the mel-spectral variant: cepstra are an orthonormal DCT-II
+of the natural-log mel spectrogram along the mel axis, coefficients 1..13
+(c0 = loudness, excluded), distortion
+    MCD = (10 / ln 10) * sqrt(2) * mean_t ||c_pred(t) - c_gt(t)||_2   [dB].
+
+Everything is plain numpy on purpose: the val split is small, DTW is a
+sequential DP (no MXU win), and keeping it off-device means the metric
+also works on mels loaded from disk with no model in memory.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# Kubichek (1993): 10/ln10 * sqrt(2) converts a natural-log cepstral
+# Euclidean distance to dB
+MCD_K = 10.0 / np.log(10.0) * np.sqrt(2.0)
+
+
+def _dct_matrix(n_mels: int, n_coeffs: int) -> np.ndarray:
+    """Orthonormal DCT-II basis rows 0..n_coeffs (inclusive of c0)."""
+    k = np.arange(n_coeffs + 1)[:, None]
+    m = np.arange(n_mels)[None, :]
+    basis = np.cos(np.pi * k * (2 * m + 1) / (2 * n_mels))
+    basis *= np.sqrt(2.0 / n_mels)
+    basis[0] *= np.sqrt(0.5)
+    return basis  # (n_coeffs+1, n_mels)
+
+
+def mel_cepstra(logmel: np.ndarray, n_coeffs: int = 13) -> np.ndarray:
+    """(T, M) natural-log mel -> (T, n_coeffs) cepstra c1..c_n (c0 dropped)."""
+    logmel = np.asarray(logmel, np.float64)
+    basis = _dct_matrix(logmel.shape[-1], n_coeffs)
+    return logmel @ basis[1:].T
+
+
+def mcd_frames(pred_logmel: np.ndarray, gt_logmel: np.ndarray,
+               n_coeffs: int = 13) -> float:
+    """Frame-aligned MCD in dB between two (T, M) log-mels (teacher-forced
+    regime: both driven by the same durations, so T matches)."""
+    if pred_logmel.shape != gt_logmel.shape:
+        raise ValueError(
+            f"frame-aligned MCD needs equal shapes, got "
+            f"{pred_logmel.shape} vs {gt_logmel.shape}; use mcd_dtw for "
+            f"free-running mels")
+    cp = mel_cepstra(pred_logmel, n_coeffs)
+    cg = mel_cepstra(gt_logmel, n_coeffs)
+    return float(MCD_K * np.mean(np.linalg.norm(cp - cg, axis=-1)))
+
+
+def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Monotone alignment path minimizing total cost over steps
+    (1,0),(0,1),(1,1). Returns (path_i, path_j) index arrays."""
+    T1, T2 = cost.shape
+    acc = np.full((T1 + 1, T2 + 1), np.inf)
+    acc[0, 0] = 0.0
+    # vectorize over anti-diagonals? T is a few hundred frames — the plain
+    # row loop with vectorized inner ops is fast enough and obviously right
+    for i in range(1, T1 + 1):
+        prev, cur = acc[i - 1], acc[i]
+        row = cost[i - 1]
+        for j in range(1, T2 + 1):
+            cur[j] = row[j - 1] + min(prev[j], cur[j - 1], prev[j - 1])
+    i, j = T1, T2
+    pi, pj = [], []
+    while i > 0 and j > 0:
+        pi.append(i - 1)
+        pj.append(j - 1)
+        moves = (acc[i - 1, j - 1], acc[i - 1, j], acc[i, j - 1])
+        m = int(np.argmin(moves))
+        if m == 0:
+            i, j = i - 1, j - 1
+        elif m == 1:
+            i -= 1
+        else:
+            j -= 1
+    return np.asarray(pi[::-1]), np.asarray(pj[::-1])
+
+
+def mcd_dtw(pred_logmel: np.ndarray, gt_logmel: np.ndarray,
+            n_coeffs: int = 13) -> float:
+    """DTW-aligned MCD in dB between (T1, M) and (T2, M) log-mels
+    (free-running regime: predicted durations, lengths differ)."""
+    cp = mel_cepstra(pred_logmel, n_coeffs)
+    cg = mel_cepstra(gt_logmel, n_coeffs)
+    # pairwise Euclidean distances (T1, T2)
+    d2 = (np.sum(cp**2, -1)[:, None] + np.sum(cg**2, -1)[None, :]
+          - 2.0 * (cp @ cg.T))
+    dist = np.sqrt(np.maximum(d2, 0.0))
+    pi, pj = dtw_path(dist)
+    return float(MCD_K * np.mean(dist[pi, pj]))
+
+
+def mel_l1(pred_logmel: np.ndarray, gt_logmel: np.ndarray) -> float:
+    """Mean absolute error between frame-aligned (T, M) log-mels."""
+    if pred_logmel.shape != gt_logmel.shape:
+        raise ValueError(
+            f"mel L1 needs equal shapes, got {pred_logmel.shape} vs "
+            f"{gt_logmel.shape}")
+    return float(np.mean(np.abs(np.asarray(pred_logmel, np.float64)
+                                - np.asarray(gt_logmel, np.float64))))
+
+
+def batch_quality_metrics(tf_mels: np.ndarray, fr_mels: np.ndarray,
+                          fr_lens: np.ndarray, gt_mels: np.ndarray,
+                          gt_lens: np.ndarray) -> dict[str, float]:
+    """Per-batch sums for the three quality metrics (caller divides by n).
+
+    tf_mels: (B, T, M) teacher-forced predictions (frame-aligned to gt);
+    fr_mels/fr_lens: free-running predictions + their predicted lengths;
+    gt_mels/gt_lens: targets. All padded; lengths mask the real frames.
+    """
+    sums = {"mel_l1": 0.0, "mcd": 0.0, "mcd_dtw": 0.0}
+    B = gt_mels.shape[0]
+    for b in range(B):
+        L = int(gt_lens[b])
+        gt = gt_mels[b, :L]
+        sums["mel_l1"] += mel_l1(tf_mels[b, :L], gt)
+        sums["mcd"] += mcd_frames(tf_mels[b, :L], gt)
+        Lp = max(1, int(fr_lens[b]))
+        sums["mcd_dtw"] += mcd_dtw(fr_mels[b, :Lp], gt)
+    return sums

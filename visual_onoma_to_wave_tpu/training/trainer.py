@@ -47,8 +47,10 @@ class Trainer:
     def __init__(self, config: Config, restore_step: Optional[int] = None,
                  vocoder_params=None, use_mesh: bool = True,
                  profile_dir: Optional[str] = None,
-                 profile_steps: tuple[int, int] = (10, 15)):
+                 profile_steps: tuple[int, int] = (10, 15),
+                 loader_workers: Optional[int] = None):
         self.config = config
+        self.loader_workers = loader_workers
         self.metadata = DatasetMetadata.load(config.path.preprocessed)
         self.train_ds = OnomaDataset("train.txt", config, sort=True,
                                      drop_last=True, metadata=self.metadata)
@@ -152,13 +154,27 @@ class Trainer:
         mesh_info = (f"{self.mesh.size}-device data mesh "
                      f"({self.mesh.devices.flat[0].platform})"
                      if self.mesh is not None else "single device (no mesh)")
+        from visual_onoma_to_wave_tpu.data.loader import ProcessLoader
+        loader = ProcessLoader(self.train_ds, "train.txt",
+                               num_workers=self.loader_workers)
         print(f"training: {self.n_params()/1e6:.2f}M params, "
-              f"{len(self.train_ds)} clips, target {total} steps, {mesh_info}")
-        from visual_onoma_to_wave_tpu.data.prefetch import prefetch
+              f"{len(self.train_ds)} clips, target {total} steps, "
+              f"{mesh_info}, loader backend {loader.backend}"
+              + (f" x{loader.num_workers}" if loader.backend == "process"
+                 else ""))
+        try:
+            self._train_loop(loader, total, step, epoch, cfg, on_step)
+        finally:
+            loader.close()
+        self._stop_profile()
+        self.ckpt.save(self.state)
+        return self.state
+
+    def _train_loop(self, loader, total, step, epoch, cfg, on_step) -> None:
         while step < total:
             epoch += 1
-            for batch in prefetch(self.train_ds.batches(
-                    group_size=4, seed=self.config.train.seed + epoch)):
+            for batch in loader.epoch(
+                    group_size=4, seed=self.config.train.seed + epoch):
                 jb = self._place(_jit_batch(batch), strict=True)
                 self._maybe_profile(step)
                 self.timer.start()
@@ -186,9 +202,6 @@ class Trainer:
                     on_step(step, losses if isinstance(losses, dict) else None)
                 if step >= total:
                     break
-        self._stop_profile()
-        self.ckpt.save(self.state)
-        return self.state
 
     def _maybe_profile(self, step: int) -> None:
         if self.profile_dir is None:
@@ -208,16 +221,38 @@ class Trainer:
                 f"profiler trace written to {self.profile_dir}")
 
     # ------------------------------------------------------------------
-    def evaluate(self, step: int | None = None) -> dict:
-        """Length-weighted mean losses over the full val split."""
+    def evaluate(self, step: int | None = None, metrics: bool = False) -> dict:
+        """Length-weighted mean losses over the full val split.
+
+        metrics=True adds objective quality numbers the reference never had
+        (its evaluate.py:58-103 only logs audio for human listening):
+        teacher-forced mel_l1 + mcd (dB) and free-running mcd_dtw (dB) —
+        see visual_onoma_to_wave_tpu/metrics.py.
+        """
         sums = {k: 0.0 for k in LOSS_KEYS}
+        if metrics:
+            from visual_onoma_to_wave_tpu.metrics import batch_quality_metrics
+            sums.update({"mel_l1": 0.0, "mcd": 0.0, "mcd_dtw": 0.0})
         n = 0
         for batch in self.val_ds.batches(group_size=1, shuffle=False):
             jb = self._place(_jit_batch(batch))
-            losses, _ = self.eval_step(self.state, jb)
+            losses, outputs = self.eval_step(self.state, jb)
             bs = batch["texts"].shape[0]
             for k in LOSS_KEYS:
                 sums[k] += float(losses[k]) * bs
+            if metrics:
+                infer_in = {k: jb[k] for k in
+                            ("audiotypes", "texts", "src_lens", "image_cells")
+                            if k in jb}
+                fr = self.synth_step(self.state, infer_in)
+                q = batch_quality_metrics(
+                    np.asarray(outputs["postnet_mel"]),
+                    np.asarray(fr["postnet_mel"]),
+                    np.asarray(fr["mel_lens"]),
+                    np.asarray(batch["mels"]),
+                    np.asarray(batch["mel_lens"]))
+                for k, v in q.items():
+                    sums[k] += v
             n += bs
         means = {k: (v / n if n else float("nan")) for k, v in sums.items()}
         if step is not None:
