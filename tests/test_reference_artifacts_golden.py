@@ -86,3 +86,80 @@ def test_augmentation_suffix_conventions():
             assert s in ("repeat2", "repeat3"), s
         else:
             assert s in tuple(f"consecutive{i}" for i in range(1, 6)), s
+
+
+SAMPLE_PNG = pathlib.Path(
+    "/root/reference/sample/ipaexg_24pt_c3-whistle3-000-0271-517-repeat2.png")
+
+
+@pytest.mark.skipif(not SAMPLE_PNG.exists(),
+                    reason="reference sample strip not available")
+def test_reference_rendered_strip_geometry():
+    """Geometry golden vs a REAL reference-rendered visual-text strip
+    (sample/ipaexg_24pt_c3-whistle3-000-0271-517-repeat2.png, the repeat2
+    augmentation of whistle3 clip 000-0271-517, text ピィ -> ピィピィ,
+    committed in latest/train-or-val rows).
+
+    We cannot reproduce the ipaexg glyph bitmaps (font blob stripped), but
+    every geometric property the pipeline depends on is checkable:
+      * strip height == fontsize == visual_text.json height (24);
+      * repeat2 == exact horizontal 2x tiling of the base render
+        (reference _repeataug pastes the base image side by side,
+        preprocessor.py:521-527 — our preprocess._repeat_aug/_hconcat does
+        the same);
+      * base width 53 is consistent with W = ceil(cps * wav_sec * fontsize)
+        for whistle3's committed chars/sec mean (label_width.json);
+      * the (W+i)//n fair allocation puts the cell boundary where the
+        reference's ink actually falls: each glyph's ink columns lie inside
+        its allocated cell.
+    """
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from visual_onoma_to_wave_tpu.data.renderer import (
+        VisualTextRenderer, allocate_character_widths)
+
+    img = np.asarray(Image.open(SAMPLE_PNG).convert("L"))
+    H, W = img.shape
+    vt = json.load(open(REF / "visual_text.json"))
+    assert H == vt["height"][0] == 24
+
+    # repeat2 tiling: the two halves are byte-identical
+    assert W % 2 == 0
+    base = img[:, : W // 2]
+    np.testing.assert_array_equal(base, img[:, W // 2:])
+
+    # base canvas width from the committed whistle3 chars/sec mean:
+    # some wav_sec must yield ceil(cps * wav_sec * 24) == 53
+    cps = json.load(open(REF / "label_width.json"))["whistle3"][0]
+    w_base = W // 2
+    lo, hi = (w_base - 1) / (cps * 24), w_base / (cps * 24)
+    assert hi > lo > 0  # the consistency window exists (0.527..0.537 s)
+
+    # our renderer reproduces that exact geometry for any wav_sec in it
+    r = VisualTextRenderer(fontsize=24, stretching=True, chars_per_sec=cps)
+    wav_sec = (lo + hi) / 2
+    canvas, widths = r.draw("ピィ", wav_sec=wav_sec)
+    assert canvas.size == (w_base, 24)
+    assert widths.tolist() == [26, 27] and widths.sum() == w_base
+    np.testing.assert_array_equal(
+        widths, allocate_character_widths(2, w_base))
+
+    # the reference ink respects those cell boundaries: ピ's columns lie in
+    # [0, 26), ィ's in [26, 53)
+    ink = np.where((base < 128).sum(0) > 0)[0]
+    cell0 = ink[ink < widths[0]]
+    cell1 = ink[ink >= widths[0]]
+    assert cell0.size > 0 and cell1.size > 0
+    # two separate glyphs: a blank gutter straddles the cell boundary
+    assert cell0.max() < widths[0] and cell1.min() >= widths[0]
+
+    # and our repeat augmentation reproduces the tiling invariant
+    from visual_onoma_to_wave_tpu.data.preprocess import Preprocessor
+
+    tiled = Preprocessor._hconcat([canvas, canvas])
+    arr = np.asarray(tiled.convert("L"))
+    assert arr.shape == img.shape
+    np.testing.assert_array_equal(arr[:, :w_base], arr[:, w_base:])
