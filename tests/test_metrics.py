@@ -133,3 +133,33 @@ def test_trainer_evaluate_metrics(tiny_env):  # noqa: F811
         assert "mcd" not in legacy
     finally:
         trainer.ckpt.close()
+
+
+def test_native_dtw_matches_python():
+    """The C DTW kernel (native/datakernels.c dtw_path_f64) returns the
+    exact path of the pure-Python DP on random and adversarial (tie-heavy)
+    cost matrices."""
+    from visual_onoma_to_wave_tpu import native
+
+    if not native.available():
+        pytest.skip("native kernels unavailable")
+    rng = np.random.default_rng(5)
+    cases = [rng.uniform(size=(40, 55)),
+             rng.uniform(size=(55, 40)),
+             np.zeros((12, 17)),             # all ties -> tie-break pinned
+             np.ones((1, 9)), np.ones((9, 1)),
+             rng.integers(0, 3, (30, 30)).astype(np.float64)]  # many ties
+    for cost in cases:
+        pi_c, pj_c = native.dtw_path_f64(cost)
+        pi_p, pj_p = dtw_path(cost)
+        np.testing.assert_array_equal(pi_c, pi_p)
+        np.testing.assert_array_equal(pj_c, pj_p)
+
+
+def test_native_dtw_rejects_degenerate():
+    from visual_onoma_to_wave_tpu import native
+
+    if not native.available():
+        pytest.skip("native kernels unavailable")
+    with pytest.raises(ValueError):
+        native.dtw_path_f64(np.zeros((0, 5)))

@@ -96,14 +96,23 @@ def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 def mcd_dtw(pred_logmel: np.ndarray, gt_logmel: np.ndarray,
             n_coeffs: int = 13) -> float:
     """DTW-aligned MCD in dB between (T1, M) and (T2, M) log-mels
-    (free-running regime: predicted durations, lengths differ)."""
+    (free-running regime: predicted durations, lengths differ).
+
+    The O(T1*T2) DP runs in the native C kernel when available
+    (native/datakernels.c dtw_path_f64 — same moves and tie-breaking as
+    the pure-numpy `dtw_path` fallback, pinned equal by tests)."""
     cp = mel_cepstra(pred_logmel, n_coeffs)
     cg = mel_cepstra(gt_logmel, n_coeffs)
     # pairwise Euclidean distances (T1, T2)
     d2 = (np.sum(cp**2, -1)[:, None] + np.sum(cg**2, -1)[None, :]
           - 2.0 * (cp @ cg.T))
     dist = np.sqrt(np.maximum(d2, 0.0))
-    pi, pj = dtw_path(dist)
+    from visual_onoma_to_wave_tpu import native
+
+    if native.available():
+        pi, pj = native.dtw_path_f64(dist)
+    else:
+        pi, pj = dtw_path(dist)
     return float(MCD_K * np.mean(dist[pi, pj]))
 
 

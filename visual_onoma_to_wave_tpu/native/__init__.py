@@ -62,6 +62,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p,
         ]
+    lib.dtw_path_f64.restype = ctypes.c_int64
+    lib.dtw_path_f64.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -100,3 +105,21 @@ def pad_cells_u8(img: np.ndarray, widths: np.ndarray,
         img.ctypes.data, h, w, widths.ctypes.data, n, cell_width,
         out.ctypes.data)
     return out
+
+
+def dtw_path_f64(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """DTW alignment path over a (T1, T2) float64 cost matrix — native DP
+    (same moves and tie-breaking as metrics.dtw_path, which is the
+    fallback). Returns (path_i, path_j) int64 index arrays."""
+    lib = _load()
+    assert lib is not None
+    cost = np.ascontiguousarray(cost, np.float64)
+    t1, t2 = cost.shape
+    acc = np.empty((t1 + 1) * (t2 + 1), np.float64)
+    pi = np.empty(t1 + t2, np.int64)
+    pj = np.empty(t1 + t2, np.int64)
+    k = lib.dtw_path_f64(cost.ctypes.data, t1, t2, acc.ctypes.data,
+                         pi.ctypes.data, pj.ctypes.data)
+    if k < 0:
+        raise ValueError(f"degenerate DTW cost shape {cost.shape}")
+    return pi[:k].copy(), pj[:k].copy()

@@ -69,3 +69,52 @@ int pad_cells_u8(const uint8_t *img, int64_t height, int64_t width,
     }
     return 0;
 }
+
+/* DTW accumulation for the quality metrics (metrics.py mcd_dtw): fill the
+ * (t1+1) x (t2+1) accumulated-cost table over moves (1,0),(0,1),(1,1) and
+ * emit the backtracked path. cost is t1 x t2 row-major float64; acc is
+ * caller-allocated (t1+1)*(t2+1) float64 scratch; path_i/path_j are
+ * caller-allocated int64 buffers of capacity t1+t2 (the maximal path
+ * length); the path is written FRONT-ALIGNED in forward order and its
+ * length returned. Returns -1 on degenerate sizes.
+ *
+ * Python fallback: metrics.dtw_path (same DP, same tie-breaking: on equal
+ * accumulated costs prefer diagonal, then up, then left). */
+int64_t dtw_path_f64(const double *cost, int64_t t1, int64_t t2,
+                     double *acc, int64_t *path_i, int64_t *path_j) {
+    if (t1 <= 0 || t2 <= 0) return -1;
+    const int64_t stride = t2 + 1;
+    const double inf = 1.0 / 0.0;
+    for (int64_t j = 0; j <= t2; j++) acc[j] = inf;
+    acc[0] = 0.0;
+    for (int64_t i = 1; i <= t1; i++) {
+        const double *prev = acc + (i - 1) * stride;
+        double *cur = acc + i * stride;
+        const double *row = cost + (i - 1) * t2;
+        cur[0] = inf;
+        for (int64_t j = 1; j <= t2; j++) {
+            double m = prev[j - 1];              /* diagonal preferred */
+            if (prev[j] < m) m = prev[j];
+            if (cur[j - 1] < m) m = cur[j - 1];
+            cur[j] = row[j - 1] + m;
+        }
+    }
+    /* backtrack (reverse order), then reverse in place */
+    int64_t i = t1, j = t2, k = 0;
+    while (i > 0 && j > 0) {
+        path_i[k] = i - 1;
+        path_j[k] = j - 1;
+        k++;
+        const double d = acc[(i - 1) * stride + (j - 1)];
+        const double u = acc[(i - 1) * stride + j];
+        const double l = acc[i * stride + (j - 1)];
+        if (d <= u && d <= l) { i--; j--; }
+        else if (u <= l) { i--; }
+        else { j--; }
+    }
+    for (int64_t a = 0, b = k - 1; a < b; a++, b--) {
+        int64_t ti = path_i[a]; path_i[a] = path_i[b]; path_i[b] = ti;
+        int64_t tj = path_j[a]; path_j[a] = path_j[b]; path_j[b] = tj;
+    }
+    return k;
+}
