@@ -475,3 +475,49 @@ def test_batch_cannot_starve_singles():
     t2.join(timeout=10)
     assert ok["r"][0] == 503
     srv.httpd.server_close()
+
+
+def test_circuit_breaker_fast_fails_while_device_stuck(server, monkeypatch):
+    """While a timed-out device call is STILL running (totally wedged
+    device), later groups fail FAST with 503 instead of each slow-failing
+    through its own watchdog window; once the stuck call returns the
+    server recovers."""
+    import threading as th
+    import time as _time
+
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+
+    real = Synthesizer.synthesize_batch
+    wedge = th.Event()
+
+    def wedged(self, texts, audiotypes, **kw):
+        if any(t == "ドンパン" for t in texts):
+            wedge.wait(timeout=120)
+        return real(self, texts, audiotypes, **kw)
+
+    monkeypatch.setattr(Synthesizer, "synthesize_batch", wedged)
+    monkeypatch.setattr(server, "device_timeout_s", 1.0)
+    try:
+        status, out = _request(server, "POST", "/v1/synthesize",
+                               {"text": "ドンパン", "audiotype": "drum"})
+        assert status == 504, out
+
+        # the wedged thread is still alive -> circuit open -> fast 503
+        t0 = _time.perf_counter()
+        status, out = _request(server, "POST", "/v1/synthesize",
+                               {"text": "パ", "audiotype": "drum"})
+        dt = _time.perf_counter() - t0
+        assert status == 503, out
+        assert "unavailable" in out["error"]
+        assert dt < 0.9, f"fast-fail took {dt:.2f}s (watchdog window is 1s)"
+    finally:
+        wedge.set()   # release the stalled thread
+    # circuit closes once the stuck call returns: served normally again
+    deadline = _time.time() + 30
+    while _time.time() < deadline:
+        status, r = _request(server, "POST", "/v1/synthesize",
+                             {"text": "パ", "audiotype": "drum"})
+        if status == 200:
+            break
+        _time.sleep(0.2)
+    assert status == 200 and r["mel_frames"] >= 1

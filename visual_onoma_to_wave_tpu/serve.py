@@ -124,6 +124,12 @@ class BatchingServer:
         # served once get the tight cap.
         self.cold_timeout_s = max(600.0, self.device_timeout_s)
         self._warm_sigs: set = set()
+        # circuit breaker: a timed-out device call whose thread is STILL
+        # running (totally wedged device/link) — dispatching more work would
+        # wedge too, and each group would slow-fail through its own full
+        # watchdog window while leaking one stuck thread. While tripped,
+        # groups fail fast with 503 until the stuck call returns.
+        self._stuck_call: threading.Thread | None = None
         # queue slots held back from /v1/batch so an explicit batch can
         # never own the whole queue and starve singles
         self.batch_reserve = (int(batch_queue_reserve)
@@ -470,6 +476,20 @@ class BatchingServer:
     def _serve_group(self, group: list[_Pending],
                      record_stats: bool = True) -> None:
         live = group
+        stuck = self._stuck_call
+        if stuck is not None:
+            # brief grace: a just-cleared wedge should serve, not 503
+            stuck.join(timeout=0.25)
+            if stuck.is_alive():
+                _log.error("circuit open: a timed-out device call is still "
+                           "running; failing a %d-item group fast", len(live))
+                for p in live:
+                    p.error = "device unavailable (recovering from a stuck " \
+                              "dispatch)"
+                    p.error_code = 503
+                self._finish(live, record_stats)
+                return
+            self._stuck_call = None
         outcome: dict = {}
         sig = self.synth.batch_signature([p.req["text"] for p in live])
         timeout = (self.device_timeout_s if sig in self._warm_sigs
@@ -488,6 +508,7 @@ class BatchingServer:
             # `outcome`).
             _log.error("device call exceeded %.1fs for a %d-item group; "
                        "failing the group", timeout, len(live))
+            self._stuck_call = call
             for p in live:
                 p.error = "synthesis timed out"
                 p.error_code = 504
