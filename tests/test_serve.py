@@ -497,6 +497,11 @@ def test_circuit_breaker_fast_fails_while_device_stuck(server, monkeypatch):
 
     monkeypatch.setattr(Synthesizer, "synthesize_batch", wedged)
     monkeypatch.setattr(server, "device_timeout_s", 1.0)
+    # warm the (b, C) signature first: an unwarmed signature gets the
+    # 600 s cold-compile cap and the 1 s watchdog would never fire
+    # (keeps this test order-independent)
+    assert _request(server, "POST", "/v1/synthesize",
+                    {"text": "パンパン", "audiotype": "drum"})[0] == 200
     try:
         status, out = _request(server, "POST", "/v1/synthesize",
                                {"text": "ドンパン", "audiotype": "drum"})

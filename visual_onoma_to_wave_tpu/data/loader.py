@@ -70,12 +70,19 @@ class ProcessLoader:
         self.depth = max(2, depth)
         self._pool = None
         self.backend = "serial"
-        if self.num_workers > 1 and cpus >= 4:
+        # the cpus >= 4 gate applies only to the auto default — an EXPLICIT
+        # num_workers request always gets the pool (the user may know their
+        # IO profile better than the core count suggests)
+        want_pool = (self.num_workers > 1
+                     if num_workers is not None
+                     else self.num_workers > 1 and cpus >= 4)
+        if want_pool:
             self._pool = self._try_start_pool()
             if self._pool is not None:
                 self.backend = "process"
 
     def _try_start_pool(self):
+        pool = None
         try:
             import multiprocessing
             from concurrent.futures import ProcessPoolExecutor
@@ -91,6 +98,10 @@ class ProcessLoader:
                 raise RuntimeError("worker dataset init failed")
             return pool
         except Exception:
+            if pool is not None:
+                # never leak spawned workers on a failed probe — the atexit
+                # join of a wedged worker would hang interpreter shutdown
+                pool.shutdown(wait=False, cancel_futures=True)
             return None
 
     def epoch(self, group_size: int = 4, seed: int | None = None,

@@ -103,6 +103,12 @@ def mcd_dtw(pred_logmel: np.ndarray, gt_logmel: np.ndarray,
     the pure-numpy `dtw_path` fallback, pinned equal by tests)."""
     cp = mel_cepstra(pred_logmel, n_coeffs)
     cg = mel_cepstra(gt_logmel, n_coeffs)
+    if cp.shape[0] == 0 or cg.shape[0] == 0:
+        # same behavior on both DP paths (the C kernel rejects degenerate
+        # sizes; the Python DP would silently mean an empty path into NaN)
+        raise ValueError(
+            f"mcd_dtw needs at least one frame per side, got "
+            f"{pred_logmel.shape} vs {gt_logmel.shape}")
     # pairwise Euclidean distances (T1, T2)
     d2 = (np.sum(cp**2, -1)[:, None] + np.sum(cg**2, -1)[None, :]
           - 2.0 * (cp @ cg.T))

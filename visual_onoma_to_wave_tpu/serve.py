@@ -487,7 +487,10 @@ class BatchingServer:
                     p.error = "device unavailable (recovering from a stuck " \
                               "dispatch)"
                     p.error_code = 503
-                self._finish(live, record_stats)
+                # record_stats=False: these groups never touched the device —
+                # counting them as batches would report healthy-looking
+                # mean_batch_size/batches during an outage
+                self._finish(live, record_stats=False)
                 return
             self._stuck_call = None
         outcome: dict = {}

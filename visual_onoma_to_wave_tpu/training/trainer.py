@@ -154,6 +154,12 @@ class Trainer:
         mesh_info = (f"{self.mesh.size}-device data mesh "
                      f"({self.mesh.devices.flat[0].platform})"
                      if self.mesh is not None else "single device (no mesh)")
+        if step >= total:
+            # resuming a finished run: no pool spawn, no probe, no-op fast
+            print(f"training: already at step {step} >= {total}, nothing "
+                  f"to do")
+            self.ckpt.save(self.state)
+            return self.state
         from visual_onoma_to_wave_tpu.data.loader import ProcessLoader
         loader = ProcessLoader(self.train_ds, "train.txt",
                                num_workers=self.loader_workers)
