@@ -95,8 +95,12 @@ def main() -> int:
     # request_timeout_s: the warm phase drives cold executables through the
     # HTTP path (compile + one-time upload can exceed the 30 s production
     # default); the load phase itself runs far below this
+    pipeline = 2
+    if "--pipeline" in sys.argv:
+        pipeline = int(sys.argv[sys.argv.index("--pipeline") + 1])
     srv = BatchingServer(synth, port=0, max_batch=max_batch,
-                         batch_window_ms=8.0, request_timeout_s=600.0)
+                         batch_window_ms=8.0, request_timeout_s=600.0,
+                         pipeline_depth=pipeline)
     srv.start()
     print(f"server up on :{srv.port}", flush=True)
 
@@ -117,13 +121,26 @@ def main() -> int:
     d_control = 1.0  # durations handled by the predictor bias above
 
     # warm every pow-2 batch bucket (ramp-down batches will hit the small
-    # ones); each is a compile + one-time upload on the tunneled platform
+    # ones); each is a compile + one-time upload on the tunneled platform.
+    # Tunnel stalls >10 min trip the server's cold watchdog into a 504
+    # (observed on degraded days) — retry instead of killing a 20-min run.
     b = max_batch
     while b >= 1:
         t0 = time.perf_counter()
-        fire("/v1/batch", {"items": [
-            {"text": texts[i % len(texts)], "audiotype": 0,
-             "d_control": d_control} for i in range(b)]})
+        for attempt in range(5):
+            try:
+                fire("/v1/batch", {"items": [
+                    {"text": texts[i % len(texts)], "audiotype": 0,
+                     "d_control": d_control} for i in range(b)]})
+                break
+            except AssertionError as e:
+                # 60 s: the wedged upload usually completes within a few
+                # minutes, after which the circuit closes and the retry warms
+                print(f"warm bucket {b} attempt {attempt + 1} failed: {e}; "
+                      f"retrying in 60s", flush=True)
+                time.sleep(60.0)
+        else:
+            raise RuntimeError(f"warm bucket {b} failed after 5 attempts")
         print(f"warm bucket {b}: {time.perf_counter() - t0:.1f}s", flush=True)
         b //= 2
     srv.reset_stats()  # measure the load phase only, not the warm batches
@@ -171,6 +188,7 @@ def main() -> int:
     print(json.dumps({
         "metric": "served_synthesis",
         "mixed_controls": mixed,
+        "pipeline_depth": pipeline,
         "clients": clients,
         "requests_completed": len(results),
         "requests_failed": len(failures),

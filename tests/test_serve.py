@@ -365,14 +365,17 @@ def test_queued_past_deadline_gets_504(server, monkeypatch):
         results[key] = _request(server, "POST", "/v1/synthesize",
                                 {"text": text, "audiotype": "drum"})
 
-    # first request occupies the worker inside the gated device call...
-    t1 = th.Thread(target=fire, args=("inflight", "パン"))
-    t1.start()
-    deadline = time.time() + 30
-    while not calls and time.time() < deadline:
-        time.sleep(0.01)
-    assert calls, "worker never picked up the in-flight request"
-    # ...second request sits queued past its 1s deadline
+    # occupy EVERY pipeline slot with gated in-flight device calls...
+    occupants = []
+    for i in range(server.pipeline_depth):
+        t = th.Thread(target=fire, args=(f"inflight{i}", "パン"))
+        t.start()
+        occupants.append(t)
+        deadline = time.time() + 30
+        while len(calls) <= i and time.time() < deadline:
+            time.sleep(0.01)
+        assert len(calls) > i, "worker never dispatched the in-flight request"
+    # ...so this request sits queued past its 1s deadline
     t2 = th.Thread(target=fire, args=("queued", "パンパ"))
     t2.start()
     t2.join(timeout=30)
@@ -380,7 +383,8 @@ def test_queued_past_deadline_gets_504(server, monkeypatch):
     assert results["queued"][0] == 504, results["queued"]
     assert "deadline" in results["queued"][1]["error"]
     gate.set()
-    t1.join(timeout=60)
+    for t in occupants:
+        t.join(timeout=60)
     # the queued request's text never reached the device
     assert ["パンパ"] not in calls
     stats = _request(server, "GET", "/v1/stats")[1]
@@ -526,3 +530,54 @@ def test_circuit_breaker_fast_fails_while_device_stuck(server, monkeypatch):
             break
         _time.sleep(0.2)
     assert status == 200 and r["mel_frames"] >= 1
+
+
+def test_pipelined_dispatch_overlaps_device_calls(server, monkeypatch):
+    """pipeline_depth=2: while group n's device call is in flight the
+    worker must collect AND dispatch group n+1 — device call 1 blocks
+    until call 2 starts, which only ever happens with pipelining (a
+    serial worker would deadlock until the watchdog)."""
+    import threading as th
+
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+
+    real = Synthesizer.synthesize_batch
+    first_started = th.Event()
+    second_started = th.Event()
+    lock = th.Lock()
+    state = {"n": 0}
+
+    def paced(self, texts, audiotypes, **kw):
+        with lock:
+            state["n"] += 1
+            mine = state["n"]
+        if mine == 1:
+            first_started.set()
+            # released only when the SECOND device call begins
+            assert second_started.wait(timeout=30), \
+                "second dispatch never started: worker is not pipelining"
+        elif mine == 2:
+            second_started.set()
+        return real(self, texts, audiotypes, **kw)
+
+    monkeypatch.setattr(Synthesizer, "synthesize_batch", paced)
+    assert server.pipeline_depth >= 2
+
+    out = {}
+
+    def fire(key, text):
+        out[key] = _request(server, "POST", "/v1/synthesize",
+                            {"text": text, "audiotype": "drum"})
+
+    t1 = th.Thread(target=fire, args=("a", "パン"))
+    t1.start()
+    assert first_started.wait(timeout=30)
+    # first call is now blocked inside the device call; this request must
+    # be collected into a NEW group and dispatched concurrently
+    t2 = th.Thread(target=fire, args=("b", "パンパ"))
+    t2.start()
+    t1.join(timeout=60)
+    t2.join(timeout=60)
+    assert not t1.is_alive() and not t2.is_alive()
+    assert out["a"][0] == 200, out["a"]
+    assert out["b"][0] == 200, out["b"]

@@ -145,7 +145,8 @@ def cmd_serve(args):
                             max_batch=args.max_batch,
                             batch_window_ms=args.window_ms,
                             max_queue=args.max_queue,
-                            request_timeout_s=args.request_timeout)
+                            request_timeout_s=args.request_timeout,
+                            pipeline_depth=args.pipeline_depth)
     server.serve_forever()
 
 
@@ -282,6 +283,10 @@ def main(argv=None):
     s.add_argument("--request-timeout", type=float, default=30.0,
                    help="per-request deadline in seconds (queued + "
                         "in-flight); past it the client gets 504")
+    s.add_argument("--pipeline-depth", type=int, default=2,
+                   help="device calls in flight: batch n+1 is collected "
+                        "and dispatched while batch n round-trips the "
+                        "device (1 = serial)")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser(

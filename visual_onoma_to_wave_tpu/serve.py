@@ -102,7 +102,8 @@ class BatchingServer:
                  max_batch: int = 32, batch_window_ms: float = 5.0,
                  max_queue: int = 1024, request_timeout_s: float = 30.0,
                  device_timeout_s: float | None = None,
-                 batch_queue_reserve: int | None = None):
+                 batch_queue_reserve: int | None = None,
+                 pipeline_depth: int = 2):
         self.synth = synthesizer
         self.max_batch = int(max_batch)
         self.window_s = float(batch_window_ms) / 1e3
@@ -124,12 +125,15 @@ class BatchingServer:
         # served once get the tight cap.
         self.cold_timeout_s = max(600.0, self.device_timeout_s)
         self._warm_sigs: set = set()
-        # circuit breaker: a timed-out device call whose thread is STILL
+        # circuit breaker: timed-out device calls whose threads are STILL
         # running (totally wedged device/link) — dispatching more work would
         # wedge too, and each group would slow-fail through its own full
-        # watchdog window while leaking one stuck thread. While tripped,
-        # groups fail fast with 503 until the stuck call returns.
-        self._stuck_call: threading.Thread | None = None
+        # watchdog window while leaking one stuck thread. While any is
+        # alive, groups fail fast with 503.
+        self._stuck_calls: list[threading.Thread] = []
+        # device calls pipelined by the worker: while group n round-trips
+        # the device, group n+1 is collected and dispatched (1 = serial)
+        self.pipeline_depth = max(1, int(pipeline_depth))
         # queue slots held back from /v1/batch so an explicit batch can
         # never own the whole queue and starve singles
         self.batch_reserve = (int(batch_queue_reserve)
@@ -274,6 +278,7 @@ class BatchingServer:
             "max_batch": self.max_batch,
             "max_text_len": MAX_TEXT_LEN,
             "max_queue": self._q.maxsize,
+            "pipeline_depth": self.pipeline_depth,
             "request_timeout_s": self.timeout_s,
             "batch_queue_reserve": self.batch_reserve,
             "width_rate_range": list(WIDTH_RATE_RANGE),
@@ -430,94 +435,169 @@ class BatchingServer:
         finally:
             self._drain_queue()
 
-    def _work_loop(self) -> None:
-        while not self._stop.is_set():
+    def _collect_group(self, block: bool) -> list[_Pending]:
+        """Drain up to max_batch requests within the batching window.
+        block=True waits briefly for a first item (idle worker); block=False
+        returns [] immediately when the queue is empty (pipeline already has
+        work in flight — never delay it)."""
+        try:
+            first = (self._q.get(timeout=0.1) if block
+                     else self._q.get_nowait())
+        except queue.Empty:
+            return []
+        # e/d controls are per-item traced inputs, so ANY mix of requests
+        # shares one device batch — no grouping, no re-queueing, no
+        # starvation of minority control values
+        group = [first]
+        window_end = time.perf_counter() + self.window_s
+        while len(group) < self.max_batch:
+            left = window_end - time.perf_counter()
+            if left <= 0:
+                break
             try:
-                first = self._q.get(timeout=0.1)
+                group.append(self._q.get(timeout=left))
             except queue.Empty:
-                continue
-            # the worker is a singleton: it must never die, or every queued
-            # and future request would block forever on its event
-            group = [first]
+                break
+        # expired-while-queued requests get 504 with NO device work (their
+        # handler threads have already answered or will on their own wait
+        # timeout)
+        now = time.perf_counter()
+        for p in group:
+            if p.deadline < now:
+                p.error = "request deadline exceeded"
+                p.error_code = 504
+                p.event.set()
+        return [p for p in group if not p.event.is_set()]
+
+    def _work_loop(self) -> None:
+        """Singleton worker: it must never die, or every queued and future
+        request would block forever on its event.
+
+        Groups are PIPELINED up to pipeline_depth device calls in flight:
+        while group n's dispatch round-trips the device (the dominant cost
+        on a tunneled TPU — docs/PERF.md measures the per-dispatch tail at
+        ~0.5 s against 77 ms of device compute), the worker collects and
+        dispatches group n+1. Retirement is in dispatch order, so responses
+        stay FIFO-fair and each flight keeps its own watchdog deadline."""
+        inflight: collections.deque = collections.deque()
+        while not self._stop.is_set():
+            group = []
             try:
-                # e/d controls are per-item traced inputs, so ANY mix of
-                # requests shares one device batch — no grouping, no
-                # re-queueing, no starvation of minority control values
-                window_end = time.perf_counter() + self.window_s
-                while len(group) < self.max_batch:
-                    left = window_end - time.perf_counter()
-                    if left <= 0:
+                while len(inflight) < self.pipeline_depth:
+                    group = self._collect_group(block=not inflight)
+                    if not group:
                         break
-                    try:
-                        group.append(self._q.get(timeout=left))
-                    except queue.Empty:
-                        break
-                # expired-while-queued requests get 504 with NO device work
-                # (their handler threads have already answered or will on
-                # their own wait timeout)
-                now = time.perf_counter()
-                for p in group:
-                    if p.deadline < now:
-                        p.error = "request deadline exceeded"
-                        p.error_code = 504
-                        p.event.set()
-                group = [p for p in group if not p.event.is_set()]
-                if group:
-                    self._serve_group(group)
+                    flight = self._dispatch_group(group)
+                    group = []
+                    if flight is not None:
+                        inflight.append(flight)
+                if not inflight:
+                    continue
+                if len(inflight) >= self.pipeline_depth:
+                    # no dispatch capacity left: block on the head until it
+                    # completes or its watchdog deadline fails it
+                    self._retire_safe(inflight.popleft())
+                else:
+                    # capacity remains: poll the head briefly, then loop to
+                    # re-check the queue — a blocking join here would stall
+                    # new arrivals behind the in-flight call (the whole
+                    # point of the pipeline is to dispatch them under it)
+                    head = inflight[0]
+                    head.thread.join(timeout=0.005)
+                    if (not head.thread.is_alive()
+                            or time.perf_counter() >= head.deadline):
+                        inflight.popleft()
+                        self._retire_safe(head)
             except Exception as e:  # pragma: no cover - defensive
-                # whatever happened, EVERY member of the collected group
+                # whatever happened, EVERY collected-but-undispatched member
                 # must be released — a missed event hangs that client forever
                 _log.exception("worker loop error", exc_info=e)
                 for p in group:
                     if not p.event.is_set():
                         p.error = p.error or "synthesis failed"
                         p.event.set()
+        while inflight:  # shutdown: settle every in-flight group
+            self._retire_safe(inflight.popleft())
 
-    def _serve_group(self, group: list[_Pending],
-                     record_stats: bool = True) -> None:
-        live = group
-        stuck = self._stuck_call
-        if stuck is not None:
-            # brief grace: a just-cleared wedge should serve, not 503
-            stuck.join(timeout=0.25)
-            if stuck.is_alive():
-                _log.error("circuit open: a timed-out device call is still "
-                           "running; failing a %d-item group fast", len(live))
-                for p in live:
-                    p.error = "device unavailable (recovering from a stuck " \
-                              "dispatch)"
-                    p.error_code = 503
-                # record_stats=False: these groups never touched the device —
-                # counting them as batches would report healthy-looking
-                # mean_batch_size/batches during an outage
-                self._finish(live, record_stats=False)
-                return
-            self._stuck_call = None
-        outcome: dict = {}
-        sig = self.synth.batch_signature([p.req["text"] for p in live])
-        timeout = (self.device_timeout_s if sig in self._warm_sigs
+    def _retire_safe(self, f: "_Flight") -> None:
+        """_retire that can never hang the flight's clients: on an
+        unexpected retire error every unreleased member is failed."""
+        try:
+            self._retire(f)
+        except Exception as e:  # pragma: no cover - defensive
+            _log.exception("retire error", exc_info=e)
+            for p in f.live:
+                if not p.event.is_set():
+                    p.error = p.error or "synthesis failed"
+                    p.event.set()
+
+    class _Flight:
+        __slots__ = ("live", "outcome", "thread", "sig", "deadline",
+                     "record_stats")
+
+    def _circuit_open(self) -> bool:
+        """True while any timed-out device call is still running. Dead
+        threads are pruned; a brief grace join lets a just-cleared wedge
+        serve instead of 503ing."""
+        if not self._stuck_calls:
+            return False
+        self._stuck_calls[0].join(timeout=0.25)
+        self._stuck_calls = [t for t in self._stuck_calls if t.is_alive()]
+        return bool(self._stuck_calls)
+
+    def _dispatch_group(self, live: list[_Pending],
+                        record_stats: bool = True) -> "_Flight | None":
+        """Start one micro-batch's device call; returns the in-flight handle
+        (or None when the group was failed fast by the circuit breaker)."""
+        if self._circuit_open():
+            _log.error("circuit open: a timed-out device call is still "
+                       "running; failing a %d-item group fast", len(live))
+            for p in live:
+                p.error = ("device unavailable (recovering from a stuck "
+                           "dispatch)")
+                p.error_code = 503
+            # record_stats=False: these groups never touched the device —
+            # counting them as batches would report healthy-looking
+            # mean_batch_size/batches during an outage
+            self._finish(live, record_stats=False)
+            return None
+        f = BatchingServer._Flight()
+        f.live = live
+        f.outcome = {}
+        f.record_stats = record_stats
+        f.sig = self.synth.batch_signature([p.req["text"] for p in live])
+        timeout = (self.device_timeout_s if f.sig in self._warm_sigs
                    else self.cold_timeout_s)
-        call = threading.Thread(
-            target=self._device_call, args=(live, outcome), daemon=True,
+        f.deadline = time.perf_counter() + timeout
+        f.thread = threading.Thread(
+            target=self._device_call, args=(f.live, f.outcome), daemon=True,
             name="vow-serve-device-call")
-        call.start()
-        call.join(timeout=timeout)
-        if call.is_alive():
+        f.thread.start()
+        return f
+
+    def _retire(self, f: "_Flight") -> None:
+        """Settle one in-flight group: join its device call under the
+        watchdog deadline, then fill results / isolate faults."""
+        live, outcome, record_stats = f.live, f.outcome, f.record_stats
+        f.thread.join(timeout=max(0.0, f.deadline - time.perf_counter()))
+        if f.thread.is_alive():
             # wedged device call (the tunneled-TPU stall mode: dispatches
             # observed to take 0.2 s .. minutes, docs/PERF.md): fail this
             # group and keep the worker alive. The stuck thread eventually
             # finishes into `outcome`, which nobody reads — `live` is never
             # touched by it after this point (_device_call only fills
             # `outcome`).
-            _log.error("device call exceeded %.1fs for a %d-item group; "
-                       "failing the group", timeout, len(live))
-            self._stuck_call = call
+            _log.error("device call exceeded its %.1fs watchdog for a "
+                       "%d-item group; failing the group",
+                       self.device_timeout_s if f.sig in self._warm_sigs
+                       else self.cold_timeout_s, len(live))
+            self._stuck_calls.append(f.thread)
             for p in live:
                 p.error = "synthesis timed out"
                 p.error_code = 504
             self._finish(live, record_stats)
             return
-        self._warm_sigs.add(sig)   # executable exists now; tight cap next
+        self._warm_sigs.add(f.sig)  # executable exists now; tight cap next
         if "exc" in outcome:
             e = outcome["exc"]
             # full details server-side only; clients get a generic message
@@ -542,6 +622,14 @@ class BatchingServer:
             for p, r in zip(live, outcome["results"]):
                 p.result = r
         self._finish(live, record_stats)
+
+    def _serve_group(self, group: list[_Pending],
+                     record_stats: bool = True) -> None:
+        """Synchronous dispatch+retire of one group (the per-item retry
+        path and the multichip dry-run drive this directly)."""
+        f = self._dispatch_group(group, record_stats)
+        if f is not None:
+            self._retire(f)
 
     def _device_call(self, live: list[_Pending], outcome: dict) -> None:
         """Run one micro-batch through the device and build the JSON
