@@ -581,3 +581,63 @@ def test_pipelined_dispatch_overlaps_device_calls(server, monkeypatch):
     assert not t1.is_alive() and not t2.is_alive()
     assert out["a"][0] == 200, out["a"]
     assert out["b"][0] == 200, out["b"]
+
+
+def test_extreme_controls_saturate_not_overflow(server):
+    """The allowed control extremes (CONTROL_RANGE bounds) must saturate at
+    the model's static mel buffer (mel_len = min(sum(dur), max_mel_len)),
+    never overflow or error."""
+    from visual_onoma_to_wave_tpu.serve import CONTROL_RANGE
+
+    lo, hi = CONTROL_RANGE
+    max_mel = server.synth.config.train.max_mel_len
+    for ctl in (lo, hi):
+        status, r = _request(server, "POST", "/v1/synthesize",
+                             {"text": "パンパンパンパン", "audiotype": "drum",
+                              "d_control": ctl})
+        assert status == 200, r
+        assert 1 <= r["mel_frames"] <= max_mel
+        # wav length stays consistent with the reported frames
+        wav = base64.b64decode(r["wav_b64"])
+        with wave.open(io.BytesIO(wav), "rb") as w:
+            assert w.getnframes() == r["mel_frames"] * 256
+
+
+def test_http_fuzz_never_crashes_server(server):
+    """Adversarial/garbage HTTP traffic: every request gets an HTTP answer
+    (4xx/2xx), the worker survives, and a normal request still serves."""
+    import http.client as hc
+    import random
+
+    rng = random.Random(0)
+    garbage_bodies = [
+        b"", b"null", b"[]", b'"str"', b"{", b"\x00\xff\xfe",
+        json.dumps({"text": None}).encode(),
+        json.dumps({"text": {"a": 1}}).encode(),
+        json.dumps({"items": [None]}).encode(),
+        json.dumps({"items": {}}).encode(),
+        json.dumps({"text": "パ", "e_control": float("1e309")}).encode(),
+        json.dumps({"text": "パ" * 1000}).encode(),
+        json.dumps({"text": "パ", "width_rates": [[1.0]]}).encode(),
+        json.dumps({"text": "パ", "audiotype": -1}).encode(),
+        b'{"text": "\xe3\x83\x91", "d_control": NaN}',   # bare NaN token
+        json.dumps({"text": "パ", "extra": "x" * 100000}).encode(),
+    ]
+    paths = ["/v1/synthesize", "/v1/batch", "/v1/meta", "/", "/healthz"]
+    for i in range(60):
+        body = rng.choice(garbage_bodies)
+        path = rng.choice(paths)
+        method = rng.choice(["POST", "POST", "GET"])
+        conn = hc.HTTPConnection("127.0.0.1", server.port, timeout=120)
+        try:
+            conn.request(method, path, body if method == "POST" else None,
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            assert 200 <= resp.status < 500, (path, method, body[:40])
+            resp.read()
+        finally:
+            conn.close()
+    # the server still serves real traffic
+    status, r = _request(server, "POST", "/v1/synthesize",
+                         {"text": "パン", "audiotype": "drum"})
+    assert status == 200 and r["mel_frames"] >= 1
