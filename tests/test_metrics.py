@@ -125,7 +125,7 @@ def test_trainer_evaluate_metrics(tiny_env):  # noqa: F811
     trainer = Trainer(tiny_env, use_mesh=False)
     try:
         means = trainer.evaluate(metrics=True)
-        for k in ("mel_l1", "mcd", "mcd_dtw"):
+        for k in ("mel_l1", "mcd", "mcd_voiced", "mcd_dtw"):
             assert k in means and np.isfinite(means[k]), (k, means)
             assert means[k] >= 0.0
         assert "total_loss" in means
@@ -163,3 +163,35 @@ def test_native_dtw_rejects_degenerate():
         pytest.skip("native kernels unavailable")
     with pytest.raises(ValueError):
         native.dtw_path_f64(np.zeros((0, 5)))
+
+
+def test_voiced_mcd_scores_signal_not_silence():
+    """mcd_voiced ignores floor-silence frames: corrupting ONLY silence
+    frames moves mcd but not mcd_voiced; corrupting voiced frames moves
+    both."""
+    from visual_onoma_to_wave_tpu.metrics import (
+        MEL_FLOOR, batch_quality_metrics, voiced_mask)
+
+    rng = np.random.default_rng(7)
+    T, M = 20, 16
+    gt = np.full((1, T, M), MEL_FLOOR)
+    gt[0, 5:10] = rng.uniform(-2.0, 0.0, (5, M))   # 5 voiced frames
+    assert voiced_mask(gt[0]).sum() == 5
+    lens = np.array([T])
+
+    spectral = np.where(np.arange(M) % 2 == 0, 2.0, -2.0)  # not in c0
+    tf_silence_bad = gt.copy()
+    tf_silence_bad[0, 12:15] += spectral           # corrupt silence only
+    q1 = batch_quality_metrics(tf_silence_bad, gt, lens, gt, lens)
+    assert q1["mcd"] > 1.0
+    assert q1["mcd_voiced"] < 1e-9
+
+    tf_voiced_bad = gt.copy()
+    tf_voiced_bad[0, 6:8] += spectral              # corrupt voiced frames
+    q2 = batch_quality_metrics(tf_voiced_bad, gt, lens, gt, lens)
+    assert q2["mcd_voiced"] > 1.0
+
+    # an all-silence item falls back to all-frame MCD (never NaN)
+    gt_sil = np.full((1, T, M), MEL_FLOOR)
+    q3 = batch_quality_metrics(gt_sil, gt_sil, lens, gt_sil, lens)
+    assert np.isfinite(q3["mcd_voiced"])

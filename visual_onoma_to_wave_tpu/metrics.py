@@ -132,22 +132,47 @@ def mel_l1(pred_logmel: np.ndarray, gt_logmel: np.ndarray) -> float:
                                 - np.asarray(gt_logmel, np.float64))))
 
 
+# a ground-truth frame counts as voiced when its mean log-mel sits this
+# far (nats) above the corpus dynamic-range floor ln(1e-5) — the margin
+# rejects pure-floor silence while keeping quiet decays
+VOICED_MARGIN = 0.5
+MEL_FLOOR = float(np.log(1e-5))
+
+
+def voiced_mask(gt_logmel: np.ndarray, margin: float = VOICED_MARGIN
+                ) -> np.ndarray:
+    """(T,) bool: frames whose GT mean log-mel is above floor+margin.
+    Silence frames sit at the ln(1e-5) clamp and dominate plain MCD on
+    percussive material (most of a drum hit's timeline is decay/floor);
+    the voiced variant scores only frames carrying signal."""
+    return np.asarray(gt_logmel, np.float64).mean(-1) > MEL_FLOOR + margin
+
+
 def batch_quality_metrics(tf_mels: np.ndarray, fr_mels: np.ndarray,
                           fr_lens: np.ndarray, gt_mels: np.ndarray,
                           gt_lens: np.ndarray) -> dict[str, float]:
-    """Per-batch sums for the three quality metrics (caller divides by n).
+    """Per-batch sums for the quality metrics (caller divides by n).
 
     tf_mels: (B, T, M) teacher-forced predictions (frame-aligned to gt);
     fr_mels/fr_lens: free-running predictions + their predicted lengths;
     gt_mels/gt_lens: targets. All padded; lengths mask the real frames.
+
+    mcd_voiced restricts the teacher-forced MCD to voiced GT frames
+    (voiced_mask); items with no voiced frames contribute their all-frame
+    MCD instead (never NaN).
     """
-    sums = {"mel_l1": 0.0, "mcd": 0.0, "mcd_dtw": 0.0}
+    sums = {"mel_l1": 0.0, "mcd": 0.0, "mcd_voiced": 0.0, "mcd_dtw": 0.0}
     B = gt_mels.shape[0]
     for b in range(B):
         L = int(gt_lens[b])
         gt = gt_mels[b, :L]
-        sums["mel_l1"] += mel_l1(tf_mels[b, :L], gt)
-        sums["mcd"] += mcd_frames(tf_mels[b, :L], gt)
+        tf = tf_mels[b, :L]
+        sums["mel_l1"] += mel_l1(tf, gt)
+        all_frames = mcd_frames(tf, gt)
+        sums["mcd"] += all_frames
+        v = voiced_mask(gt)
+        sums["mcd_voiced"] += (mcd_frames(tf[v], gt[v]) if v.any()
+                               else all_frames)
         Lp = max(1, int(fr_lens[b]))
         sums["mcd_dtw"] += mcd_dtw(fr_mels[b, :Lp], gt)
     return sums

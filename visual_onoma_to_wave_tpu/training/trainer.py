@@ -238,7 +238,8 @@ class Trainer:
         sums = {k: 0.0 for k in LOSS_KEYS}
         if metrics:
             from visual_onoma_to_wave_tpu.metrics import batch_quality_metrics
-            sums.update({"mel_l1": 0.0, "mcd": 0.0, "mcd_dtw": 0.0})
+            sums.update({"mel_l1": 0.0, "mcd": 0.0, "mcd_voiced": 0.0,
+                         "mcd_dtw": 0.0})
         n = 0
         for batch in self.val_ds.batches(group_size=1, shuffle=False):
             jb = self._place(_jit_batch(batch))
