@@ -158,10 +158,14 @@ def cmd_train_vocoder(args):
         segment_size=args.segment_size, batch_size=args.batch_size,
         learning_rate=args.lr, total_steps=args.steps,
         save_every=args.save_every, seed=args.seed)
+    gen = None
+    if args.family != "hifigan":
+        from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
+        gen = get_vocoder(args.family)
     clips = load_wav_dir(args.wav_dir, target_sr=cfg.sampling_rate)
-    print(f"training HiFi-GAN on {len(clips)} clips "
+    print(f"training {args.family} on {len(clips)} clips "
           f"({sum(len(c) for c in clips) / cfg.sampling_rate:.0f}s of audio)")
-    trainer = VocoderTrainer(clips, cfg, ckpt_dir=args.out_dir,
+    trainer = VocoderTrainer(clips, cfg, gen=gen, ckpt_dir=args.out_dir,
                              log_dir=args.log_dir)
     if args.restore_step is not None:
         step = trainer.restore(args.restore_step if args.restore_step >= 0
@@ -304,6 +308,12 @@ def main(argv=None):
     s.add_argument("--log-dir", default=None)
     s.add_argument("--restore-step", type=int, default=None,
                    help="resume from this checkpoint step (-1 = latest)")
+    s.add_argument("--family", default="hifigan",
+                   choices=["hifigan", "istftnet", "istftnet-mel"],
+                   help="generator family: hifigan (reference parity), "
+                        "istftnet (C8C8I; drops the MXU-starved small-"
+                        "channel tail), istftnet-mel (mel-rate trunk + "
+                        "full iSTFT head)")
     s.set_defaults(fn=cmd_train_vocoder)
 
     s = sub.add_parser("convert-acoustic",

@@ -101,6 +101,11 @@ class HiFiGANGenerator(nn.Module):
     n_mels: int = 80
     dtype: jnp.dtype = jnp.float32  # compute precision; params stay f32
 
+    @property
+    def total_upsample(self) -> int:
+        """Samples emitted per input mel frame (== hop_length at parity)."""
+        return int(np.prod(self.upsample_rates, dtype=np.int64))
+
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
         ch0 = self.upsample_initial_channel
@@ -259,9 +264,12 @@ def vocoder_infer_chunked(
     if gen is None:
         gen = HiFiGANGenerator()
     if halo_frames is None:
-        halo_frames = receptive_halo_frames(
-            gen.upsample_rates, gen.upsample_kernel_sizes,
-            gen.resblock_kernel_sizes, gen.resblock_dilations)
+        if hasattr(gen, "receptive_halo_frames"):  # e.g. ISTFTNetGenerator
+            halo_frames = gen.receptive_halo_frames()
+        else:
+            halo_frames = receptive_halo_frames(
+                gen.upsample_rates, gen.upsample_kernel_sizes,
+                gen.resblock_kernel_sizes, gen.resblock_dilations)
     b, t, m = mel.shape
     n_chunks = -(-t // chunk_frames)
     t_pad = n_chunks * chunk_frames

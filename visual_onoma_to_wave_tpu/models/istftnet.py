@@ -1,0 +1,215 @@
+"""iSTFT-head vocoder family (beyond-reference, TPU-first).
+
+Motivation: the reference HiFi-GAN V1 (scripts/hifigan/models.py:112-165,
+upsample rates 8,8,2,2 per scripts/hifigan/config.json:11-15) spends 46%
+of its device time in the C=64/32 upsample+MRF tail, which is structurally
+MXU-starved — output channels fill only 64/128 or 32/128 MXU lanes
+(measured dead end, docs/PERF.md "small-channel wall"). iSTFTNet
+(Kaneko et al., ICASSP 2022, arXiv:2203.02395) removes that tail
+architecturally: the learned network stops while channels are still wide
+and emits the magnitude and phase of a short-window STFT; a deterministic
+inverse STFT supplies the remaining upsampling. The "mel-rate" preset
+pushes the idea to its limit (the layout popularized by Vocos,
+arXiv:2306.00814): no learned upsampling at all — every conv runs at mel
+rate with 512 channels, and a full n_fft=1024 / hop=256 iSTFT produces the
+waveform.
+
+TPU-first formulation: the entire iSTFT — irfft, synthesis window,
+overlap-add — is folded into ONE fixed-weight transposed convolution
+(kernel = window-scaled inverse-DFT basis, stride = hop), so the head
+rides the same lhs-dilated MXU conv path as the learned stages and XLA
+fuses the exp/cos/sin head math into it. The overlap-add normalizer
+(window sum-square) is computed by the same conv on a ones-frame signal at
+trace time and constant-folded.
+
+The learned trunk reuses the HiFi-GAN building blocks (`ResBlock1`,
+`_conv1d`, `_conv_transpose1d` from models/hifigan.py), so discriminators,
+GAN losses and the vocoder trainer apply unchanged — only the
+upsample-factor bookkeeping generalizes (``total_upsample``).
+"""
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visual_onoma_to_wave_tpu.models.hifigan import (
+    LRELU_SLOPE,
+    ResBlock1,
+    _conv1d,
+    _conv_transpose1d,
+)
+from visual_onoma_to_wave_tpu.ops.stft import hann_window
+
+# Magnitude cap: mag = exp(min(logmag, ln(100))). Unconstrained exp can
+# overflow bf16 grads early in GAN training; 100 is ~40 dB above full scale.
+_MAX_MAG = 100.0
+
+# Named architecture presets (all keep total upsampling = 256 = hop_length).
+ISTFT_PRESETS: dict[str, dict] = {
+    # iSTFTNet C8C8I (arXiv:2203.02395 Table 1): two x8 stages, 16-pt iSTFT
+    "c8c8i": dict(upsample_rates=(8, 8), upsample_kernel_sizes=(16, 16),
+                  istft_n_fft=16),
+    # mel-rate: no learned upsampling, full-resolution 1024-pt iSTFT head
+    "melrate": dict(upsample_rates=(), upsample_kernel_sizes=(),
+                    istft_n_fft=1024),
+}
+
+
+def istft_synthesis_kernel(n_fft: int) -> np.ndarray:
+    """The fixed transposed-conv kernel implementing irfft+window.
+
+    Returns (n_fft, 2*n_bins, 1) f32, laid out for `_conv_transpose1d`
+    (HIO, kernel already in output-time order). Input channels are
+    [Re(X_0)..Re(X_nb-1), Im(X_0)..Im(X_nb-1)]; output position t within a
+    frame receives  w[t] * irfft(X)[t]  where
+      irfft(X)[t] = (1/N) * sum_k scale_k * (Re X_k cos(2 pi k t / N)
+                                             - Im X_k sin(2 pi k t / N)),
+    scale_k = 1 for DC/Nyquist, 2 otherwise (Hermitian symmetry).
+    """
+    n_bins = n_fft // 2 + 1
+    t = np.arange(n_fft, dtype=np.float64)
+    k = np.arange(n_bins, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(k, t) / n_fft          # (n_bins, n_fft)
+    scale = np.full((n_bins, 1), 2.0 / n_fft)
+    scale[0] = 1.0 / n_fft
+    if n_fft % 2 == 0:
+        scale[-1] = 1.0 / n_fft
+    w = hann_window(n_fft).astype(np.float64)[None, :]  # (1, n_fft)
+    kernel = np.concatenate([scale * np.cos(ang) * w,
+                             -scale * np.sin(ang) * w], axis=0)
+    return kernel.T[:, :, None].astype(np.float32)      # (n_fft, 2nb, 1)
+
+
+def istft_overlap_add(frames_ri: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """Windowed inverse STFT with hop = n_fft//4 as one transposed conv.
+
+    frames_ri: (B, N, 2*n_bins) real/imag interleaved-by-half spectra.
+    Returns (B, N*hop) float32 — the same samples torch.istft(center=True)
+    would produce for the centered region (window sum-square normalized;
+    frame n is centered at sample n*hop + n_fft/2 - hop*3/2... i.e. the
+    (n_fft-hop)//2 edge trim makes output length exactly N*hop).
+    """
+    hop = n_fft // 4
+    # _conv_transpose1d expects kernels time-flipped relative to the scatter
+    # orientation (see models/hifigan.py:_t_convtr) — flip the fixed bases
+    kernel = jnp.asarray(istft_synthesis_kernel(n_fft)[::-1].copy())
+    pad = (n_fft - hop) // 2
+    y = _conv_transpose1d(frames_ri.astype(jnp.float32), kernel, None,
+                          stride=hop, torch_padding=pad)   # (B, N*hop, 1)
+    # window sum-square via the same conv on ones (constant-folded by XLA)
+    w2 = jnp.asarray(
+        hann_window(n_fft).astype(np.float32)[::-1].copy() ** 2)[:, None, None]
+    ones = jnp.ones((1, frames_ri.shape[1], 1), jnp.float32)
+    wss = _conv_transpose1d(ones, w2, None, stride=hop, torch_padding=pad)
+    return (y / jnp.maximum(wss, 1e-8))[..., 0]
+
+
+class ISTFTNetGenerator(nn.Module):
+    """Mel (B, T, n_mels) -> waveform (B, T*256) via a learned trunk plus a
+    fixed iSTFT head. With the default C8C8I preset the trunk upsamples
+    64x (channels 512->256->128) and the head's 16-pt/hop-4 iSTFT supplies
+    the final 4x; the mel-rate preset has no trunk upsampling and a
+    1024-pt/hop-256 head."""
+
+    upsample_rates: tuple[int, ...] = (8, 8)
+    upsample_kernel_sizes: tuple[int, ...] = (16, 16)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: tuple[int, ...] = (3, 7, 11)
+    resblock_dilations: tuple[tuple[int, ...], ...] = ((1, 3, 5),) * 3
+    n_mels: int = 80
+    istft_n_fft: int = 16
+    post_kernel_size: int = 7
+    dtype: jnp.dtype = jnp.float32  # trunk compute precision; head is f32
+
+    @property
+    def istft_hop(self) -> int:
+        return self.istft_n_fft // 4
+
+    @property
+    def total_upsample(self) -> int:
+        return int(np.prod(self.upsample_rates, dtype=np.int64)) * self.istft_hop
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        ch0 = self.upsample_initial_channel
+        w = self.param("conv_pre_w", nn.initializers.normal(0.01),
+                       (7, self.n_mels, ch0))
+        b = self.param("conv_pre_b", nn.initializers.zeros, (ch0,))
+        x = _conv1d(mel, w, b, dtype=self.dtype)
+
+        n_kernels = len(self.resblock_kernel_sizes)
+        ch = ch0
+        for i, (u, k) in enumerate(zip(self.upsample_rates,
+                                       self.upsample_kernel_sizes)):
+            cin, ch = ch, ch // 2
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            wt = self.param(f"up_{i}_w", nn.initializers.normal(0.01),
+                            (k, cin, ch))
+            bt = self.param(f"up_{i}_b", nn.initializers.zeros, (ch,))
+            x = _conv_transpose1d(x, wt, bt, stride=u,
+                                  torch_padding=(k - u) // 2, dtype=self.dtype)
+            acc = None
+            for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
+                                             self.resblock_dilations)):
+                y = ResBlock1(ch, rk, tuple(rd), dtype=self.dtype,
+                              name=f"resblock_{i}_{j}")(x)
+                acc = y if acc is None else acc + y
+            x = acc / n_kernels
+        if not self.upsample_rates:
+            # mel-rate preset: the MRF still runs, just without upsampling
+            acc = None
+            for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
+                                             self.resblock_dilations)):
+                y = ResBlock1(ch, rk, tuple(rd), dtype=self.dtype,
+                              name=f"resblock_0_{j}")(x)
+                acc = y if acc is None else acc + y
+            x = acc / n_kernels
+
+        n_bins = self.istft_n_fft // 2 + 1
+        x = nn.leaky_relu(x, 0.01)  # torch F.leaky_relu default, as HiFi-GAN
+        w = self.param("conv_post_w", nn.initializers.normal(0.01),
+                       (self.post_kernel_size, ch, 2 * n_bins))
+        b = self.param("conv_post_b", nn.initializers.zeros, (2 * n_bins,))
+        spec = _conv1d(x.astype(jnp.float32), w, b)      # head math in f32
+        logmag, phase = spec[..., :n_bins], spec[..., n_bins:]
+        mag = jnp.exp(jnp.minimum(logmag, math.log(_MAX_MAG)))
+        frames_ri = jnp.concatenate(
+            [mag * jnp.cos(phase), mag * jnp.sin(phase)], axis=-1)
+        return istft_overlap_add(frames_ri, self.istft_n_fft)
+
+    def receptive_halo_frames(self) -> int:
+        """One-sided receptive field in INPUT mel frames (for sample-exact
+        chunked vocoding; see hifigan.receptive_halo_frames)."""
+        hop = self.istft_hop
+        # a trunk frame n influences output samples within the istft conv's
+        # span; inverting: output sample m depends on frames within
+        # ceil((n_fft-1-pad)/hop) of m//hop. Also ensure the chunk core is
+        # >= n_fft-hop samples from the chunk edge so the per-chunk window
+        # sum-square equals the full signal's there.
+        pad = (self.istft_n_fft - hop) // 2
+        halo = max(-(-(self.istft_n_fft - 1 - pad) // hop),
+                   -(-(self.istft_n_fft - hop) // hop))
+        halo += (self.post_kernel_size - 1) // 2
+        mrf = max(sum((d + 1) * (rk - 1) // 2 for d in rd)
+                  for rk, rd in zip(self.resblock_kernel_sizes,
+                                    self.resblock_dilations))
+        if not self.upsample_rates:
+            halo += mrf
+        for u, k in zip(reversed(self.upsample_rates),
+                        reversed(self.upsample_kernel_sizes)):
+            halo += mrf
+            p = (k - u) // 2
+            halo = -(-(halo + k - 1 - p) // u)
+        return halo + 3  # conv_pre k=7
+
+
+def build_istftnet(preset: str = "c8c8i", *, dtype=jnp.float32,
+                   **overrides) -> ISTFTNetGenerator:
+    """Construct an ISTFTNetGenerator from a named preset + overrides."""
+    kw = dict(ISTFT_PRESETS[preset.lower()])
+    kw.update(overrides)
+    return ISTFTNetGenerator(dtype=dtype, **kw)

@@ -24,12 +24,21 @@ from visual_onoma_to_wave_tpu.models.melgan import (
 
 def get_vocoder(model: str = "HiFi-GAN", *, dtype=jnp.float32, **kwargs):
     """Build the configured vocoder module (params loaded separately via
-    utils.checkpoint.load_params or the torch converters)."""
-    name = model.lower().replace("-", "")
+    utils.checkpoint.load_params or the torch converters).
+
+    Families: HiFi-GAN (reference parity), MelGAN (reference's torch.hub
+    alternative), iSTFTNet / iSTFTNet-mel (beyond-reference iSTFT-head
+    generators, models/istftnet.py; self-trained via `cli train-vocoder`).
+    """
+    name = model.lower().replace("-", "").replace("_", "")
     if name == "melgan":
         return MelGANGenerator(**kwargs)
     if name == "hifigan":
         return HiFiGANGenerator(dtype=dtype, **kwargs)
+    if name in ("istftnet", "istftnetmel"):
+        from visual_onoma_to_wave_tpu.models.istftnet import build_istftnet
+        preset = "melrate" if name == "istftnetmel" else "c8c8i"
+        return build_istftnet(preset, dtype=dtype, **kwargs)
     raise ValueError(f"unknown vocoder family: {model!r}")
 
 

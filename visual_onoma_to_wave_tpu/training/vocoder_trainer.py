@@ -304,7 +304,9 @@ def make_gan_train_step(gen: HiFiGANGenerator,
 
 
 class VocoderTrainer:
-    """Drives GAN training of the HiFi-GAN generator.
+    """Drives GAN training of a vocoder generator (HiFi-GAN by default;
+    any module whose total_upsample == hop_length works, e.g. the
+    iSTFT-head families in models/istftnet.py).
 
     clips: iterable of float32 waveforms in [-1, 1] at cfg.sampling_rate
     (e.g. `load_wav_dir(...)` over the corpus' formatted wav/ directory).
@@ -348,7 +350,10 @@ class VocoderTrainer:
         mel0 = jnp.zeros((1, t_mel, c.n_mels), jnp.float32)
         wav0 = jnp.zeros((1, c.segment_size), jnp.float32)
         # generator output length must equal the segment for the GAN losses
-        up = int(np.prod(self.gen.upsample_rates))
+        # (total_upsample covers iSTFT-head families whose deterministic
+        # head upsamples beyond prod(upsample_rates); models/istftnet.py)
+        up = int(getattr(self.gen, "total_upsample",
+                         np.prod(self.gen.upsample_rates)))
         if up != c.hop_length:
             raise ValueError(
                 f"generator upsampling {up} != hop_length {c.hop_length}")
