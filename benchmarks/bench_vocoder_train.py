@@ -6,6 +6,7 @@ trained per second, and an estimate vs the official single-GPU recipe
 scale (batch 16 x 8192 samples).
 
 Usage: python benchmarks/bench_vocoder_train.py [--batch N] [--steps N]
+           [--family hifigan|istftnet|istftnet-mel]
 """
 from __future__ import annotations
 
@@ -33,12 +34,20 @@ def main() -> int:
     if "--steps" in sys.argv:
         iters = int(sys.argv[sys.argv.index("--steps") + 1])
 
+    family = "hifigan"
+    if "--family" in sys.argv:
+        family = sys.argv[sys.argv.index("--family") + 1]
+    gen = None
+    if family != "hifigan":
+        from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
+        gen = get_vocoder(family)
+
     cfg = VocoderTrainConfig(batch_size=batch)
     rng = np.random.default_rng(0)
     clips = [rng.uniform(-0.5, 0.5, 30000).astype(np.float32)
              for _ in range(8)]
     t0 = time.perf_counter()
-    trainer = VocoderTrainer(clips, cfg, use_mesh=False)
+    trainer = VocoderTrainer(clips, cfg, gen=gen, use_mesh=False)
     print(f"init {time.perf_counter() - t0:.1f}s", flush=True)
 
     # 2 synced warmups (block_until_ready is a no-op on the tunnel: sync by
@@ -60,6 +69,7 @@ def main() -> int:
     audio_sec = batch * cfg.segment_size / cfg.sampling_rate
     print(json.dumps({
         "metric": "vocoder_gan_train_step",
+        "family": family,
         "batch": batch, "segment": cfg.segment_size,
         "step_ms": round(dt * 1e3, 2),
         "audio_sec_per_sec": round(audio_sec / dt, 1),

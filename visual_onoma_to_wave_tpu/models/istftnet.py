@@ -15,12 +15,13 @@ rate with 512 channels, and a full n_fft=1024 / hop=256 iSTFT produces the
 waveform.
 
 TPU-first formulation: the entire iSTFT — irfft, synthesis window,
-overlap-add — is folded into ONE fixed-weight transposed convolution
-(kernel = window-scaled inverse-DFT basis, stride = hop), so the head
-rides the same lhs-dilated MXU conv path as the learned stages and XLA
-fuses the exp/cos/sin head math into it. The overlap-add normalizer
-(window sum-square) is computed by the same conv on a ones-frame signal at
-trace time and constant-folded.
+overlap-add — is one dense matmul against a fixed window-scaled
+inverse-DFT basis followed by a 4-way shifted block add (win = 4*hop
+always), so the head is pure MXU work and XLA fuses the exp/cos/sin head
+math into it. The overlap-add normalizer (window sum-square) is a
+host-precomputed constant. (A stride=hop transposed-conv formulation of
+the same math measured 83x slower at the melrate shape — see
+istft_overlap_add.)
 
 The learned trunk reuses the HiFi-GAN building blocks (`ResBlock1`,
 `_conv1d`, `_conv_transpose1d` from models/hifigan.py), so discriminators,
@@ -29,6 +30,7 @@ upsample-factor bookkeeping generalizes (``total_upsample``).
 """
 from __future__ import annotations
 
+import functools
 import math
 
 import flax.linen as nn
@@ -59,11 +61,12 @@ ISTFT_PRESETS: dict[str, dict] = {
 }
 
 
+@functools.lru_cache(maxsize=None)
 def istft_synthesis_kernel(n_fft: int) -> np.ndarray:
-    """The fixed transposed-conv kernel implementing irfft+window.
+    """The fixed synthesis basis implementing irfft+window.
 
-    Returns (n_fft, 2*n_bins, 1) f32, laid out for `_conv_transpose1d`
-    (HIO, kernel already in output-time order). Input channels are
+    Returns (n_fft, 2*n_bins, 1) f32 in scatter orientation (output-time
+    order along axis 0). Input channels are
     [Re(X_0)..Re(X_nb-1), Im(X_0)..Im(X_nb-1)]; output position t within a
     frame receives  w[t] * irfft(X)[t]  where
       irfft(X)[t] = (1/N) * sum_k scale_k * (Re X_k cos(2 pi k t / N)
@@ -84,28 +87,49 @@ def istft_synthesis_kernel(n_fft: int) -> np.ndarray:
     return kernel.T[:, :, None].astype(np.float32)      # (n_fft, 2nb, 1)
 
 
+@functools.lru_cache(maxsize=None)
+def _wss_trimmed(n_frames: int, n_fft: int) -> np.ndarray:
+    """Window sum-square normalizer for the trimmed OLA output (host-side
+    constant — it depends only on the static (n_frames, n_fft))."""
+    hop = n_fft // 4
+    w2 = hann_window(n_fft).astype(np.float64) ** 2
+    full = np.zeros((n_frames - 1) * hop + n_fft)
+    for i in range(n_frames):
+        full[i * hop: i * hop + n_fft] += w2
+    trim = (n_fft - hop) // 2
+    return np.maximum(full[trim: trim + n_frames * hop],
+                      1e-8).astype(np.float32)
+
+
 def istft_overlap_add(frames_ri: jnp.ndarray, n_fft: int) -> jnp.ndarray:
-    """Windowed inverse STFT with hop = n_fft//4 as one transposed conv.
+    """Windowed inverse STFT with hop = n_fft//4: dense synthesis matmul +
+    4-way shifted block add.
 
     frames_ri: (B, N, 2*n_bins) real/imag interleaved-by-half spectra.
-    Returns (B, N*hop) float32 — the same samples torch.istft(center=True)
-    would produce for the centered region (window sum-square normalized;
-    frame n is centered at sample n*hop + n_fft/2 - hop*3/2... i.e. the
+    Returns (B, N*hop) float32 (window sum-square normalized; the
     (n_fft-hop)//2 edge trim makes output length exactly N*hop).
+
+    Formulation note: expressing the OLA as a stride=hop transposed conv
+    measured 829 ms for the melrate head (B=128, T=512) — XLA's
+    lhs-dilated conv path collapses at stride 256 / kernel 1024. The
+    frames @ basis matmul + shift-add below measures 10 ms for the same
+    work (v5e, docs/PERF.md). Since win = 4*hop, output position
+    m = (n+q)*hop + r receives sub-block q of frame n: four padded adds.
+    Precision.HIGHEST on the basis matmul keeps the head f32-exact
+    (default TPU matmul precision is bf16-pass, ~1e-3 relative — audible
+    floor on waveform samples).
     """
     hop = n_fft // 4
-    # _conv_transpose1d expects kernels time-flipped relative to the scatter
-    # orientation (see models/hifigan.py:_t_convtr) — flip the fixed bases
-    kernel = jnp.asarray(istft_synthesis_kernel(n_fft)[::-1].copy())
-    pad = (n_fft - hop) // 2
-    y = _conv_transpose1d(frames_ri.astype(jnp.float32), kernel, None,
-                          stride=hop, torch_padding=pad)   # (B, N*hop, 1)
-    # window sum-square via the same conv on ones (constant-folded by XLA)
-    w2 = jnp.asarray(
-        hann_window(n_fft).astype(np.float32)[::-1].copy() ** 2)[:, None, None]
-    ones = jnp.ones((1, frames_ri.shape[1], 1), jnp.float32)
-    wss = _conv_transpose1d(ones, w2, None, stride=hop, torch_padding=pad)
-    return (y / jnp.maximum(wss, 1e-8))[..., 0]
+    b, n, _ = frames_ri.shape
+    basis = jnp.asarray(istft_synthesis_kernel(n_fft)[:, :, 0].T)
+    y = jnp.matmul(frames_ri.astype(jnp.float32), basis,
+                   precision=jax.lax.Precision.HIGHEST)    # (B, N, n_fft)
+    y = y.reshape(b, n, 4, hop)
+    full = sum(jnp.pad(y[:, :, q, :], ((0, 0), (q, 3 - q), (0, 0)))
+               for q in range(4)).reshape(b, (n + 3) * hop)
+    trim = (n_fft - hop) // 2
+    core = full[:, trim: trim + n * hop]
+    return core / jnp.asarray(_wss_trimmed(n, n_fft))
 
 
 class ISTFTNetGenerator(nn.Module):
