@@ -171,6 +171,34 @@ def _full(model, variables, gen, gen_params, batch, B, MAX_MEL, HOP, SR):
                       "value": round(fps, 1), "unit": "frames/sec/chip",
                       "vs_baseline": None}))
 
+    # --- combined synthesis with the fast iSTFT-head vocoder -------------
+    # (beyond-reference serving config: models/istftnet.py mel-rate preset;
+    # headline metric above keeps HiFi-GAN for baseline comparability)
+    from visual_onoma_to_wave_tpu.models.istftnet import build_istftnet
+    igen = build_istftnet("melrate", dtype=gen.dtype)
+    igen_params = igen.init(jax.random.PRNGKey(3),
+                            jnp.zeros((1, 16, 80), jnp.float32))
+
+    @jax.jit
+    def synth_istft(params, batch_stats, igen_params, batch, salt):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            audiotypes=batch["audiotypes"], texts=batch["texts"],
+            src_lens=batch["src_lens"],
+            image_cells=batch["image_cells"] + salt,
+            use_image=True, deterministic=True)
+        wav = igen.apply(igen_params, out["postnet_mel"])
+        return jnp.sum(wav[:, ::4097])
+
+    dt = _timed(synth_istft,
+                lambda i: (params, batch_stats, igen_params, batch,
+                           jnp.float32(1e-3 * i)), iters=5)
+    rtf = (B * MAX_MEL * HOP / SR) / dt
+    print(json.dumps({"metric": "combined_synthesis_rtf_istftnet_mel",
+                      "value": round(rtf, 2),
+                      "unit": "x_realtime_per_chip",
+                      "vs_baseline": round(rtf / 50.0, 3)}))
+
     # --- preprocessing DSP: clips/sec (Pallas frontend on TPU) -----------
     from visual_onoma_to_wave_tpu.ops.pallas_mel import pallas_clip_features
     from visual_onoma_to_wave_tpu.ops.stft import (

@@ -58,6 +58,39 @@ DEMO_MODEL = {
     "vocoder_kwargs": {"upsample_initial_channel": 128},
 }
 
+# alternate demo vocoder: the beyond-reference iSTFT-head family
+# (models/istftnet.py, mel-rate preset) at demo size — committed as
+# vocoder_istftnet_mel/ + config_istftnet.json so the fast family works
+# out of the box too
+ALT_VOCODER = {"family": "iSTFTNet-mel",
+               "kwargs": {"upsample_initial_channel": 64}}
+
+
+def train_alt_vocoder(work: pathlib.Path, out: pathlib.Path,
+                      steps: int = 2500) -> None:
+    """Train + export the alternate iSTFT-head demo vocoder. Requires the
+    formatted corpus under `work` and the exported demo (config.json) under
+    `out`."""
+    from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
+    from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
+        VocoderTrainConfig, VocoderTrainer, load_wav_dir)
+    from visual_onoma_to_wave_tpu.utils.checkpoint import save_params
+
+    vcfg = VocoderTrainConfig(total_steps=steps, batch_size=16,
+                              save_every=10 ** 9, log_every=200)
+    clips = load_wav_dir(work / "formatted" / "audio",
+                         target_sr=vcfg.sampling_rate)
+    gen = get_vocoder(ALT_VOCODER["family"], **ALT_VOCODER["kwargs"])
+    vt = VocoderTrainer(clips, vcfg, gen=gen,
+                        ckpt_dir=work / "out" / "voc_alt_ckpt")
+    vt.train()
+    save_params(out / "vocoder_istftnet_mel", vt.state.gen_params)
+
+    cfg = json.loads((out / "config.json").read_text())
+    cfg["model"]["vocoder_model"] = ALT_VOCODER["family"]
+    cfg["model"]["vocoder_kwargs"] = dict(ALT_VOCODER["kwargs"])
+    (out / "config_istftnet.json").write_text(json.dumps(cfg, indent=1))
+
 
 def _pitch(ch: str) -> float:
     """Injective char -> pitch over KATAKANA: each demo character gets its
@@ -149,6 +182,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--voc-steps", type=int, default=2000)
+    ap.add_argument("--alt-voc-steps", type=int, default=2000,
+                    help="iSTFT-head demo vocoder steps (0 skips it)")
     ap.add_argument("--n-per-class", type=int, default=60)
     ap.add_argument("--work", default="/tmp/demo_build")
     ap.add_argument("--out", default=str(
@@ -233,10 +268,23 @@ def main() -> int:
     }
     (out / "config.json").write_text(json.dumps(demo_cfg, indent=1))
 
+    if args.alt_voc_steps > 0:
+        print("== train alt vocoder (iSTFT head) ==", flush=True)
+        train_alt_vocoder(work, out, steps=args.alt_voc_steps)
+
     # smoke-test through the standalone serving entry + write a sample
     from visual_onoma_to_wave_tpu.cli import load_config
     from visual_onoma_to_wave_tpu.data.audio_io import write_wav
     from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+    if args.alt_voc_steps > 0:
+        alt = Synthesizer.from_checkpoint(
+            load_config(str(out / "config_istftnet.json")),
+            acoustic=str(out / "acoustic"),
+            vocoder=str(out / "vocoder_istftnet_mel"))
+        alt_res = alt.synthesize("パンパン", CLASSES[0])
+        if alt_res.wav is not None:
+            assert np.isfinite(alt_res.wav).all()
+            print(f"alt vocoder ok ({alt_res.mel_len} mel frames)")
     synth = Synthesizer.from_checkpoint(
         load_config(str(out / "config.json")),
         acoustic=str(out / "acoustic"), vocoder=str(out / "vocoder"))

@@ -55,6 +55,32 @@ def test_demo_checkpoint_duration_control(synth):
     assert long.mel_len > short.mel_len
 
 
+@pytest.mark.skipif(
+    not (DEMO / "config_istftnet.json").exists(),
+    reason="alt iSTFT-head demo vocoder not built")
+def test_demo_checkpoint_alt_istft_vocoder():
+    """The committed alternate vocoder (iSTFTNet-mel family) serves the same
+    acoustic checkpoint through config_istftnet.json."""
+    from visual_onoma_to_wave_tpu.cli import load_config
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+
+    cfg = load_config(str(DEMO / "config_istftnet.json"))
+    assert cfg.model.vocoder_model == "iSTFTNet-mel"
+    cfg = cfg.replace(path=cfg.path.__class__(
+        corpus="", formatted="", preprocessed=str(DEMO / "preprocessed"),
+        font="", ckpt="/tmp/vow_demo_t/ckpt", log="/tmp/vow_demo_t/log",
+        result="/tmp/vow_demo_t/result"))
+    synth = Synthesizer.from_checkpoint(
+        cfg, acoustic=str(DEMO / "acoustic"),
+        vocoder=str(DEMO / "vocoder_istftnet_mel"))
+    meta = json.loads((DEMO / "preprocessed" / "audiotype.json").read_text())
+    res = synth.synthesize("パンパン", next(iter(meta)))
+    assert res.wav is not None and res.mel_len >= 4
+    assert np.isfinite(res.wav).all()
+    assert res.wav.shape[0] == res.mel_len * 256
+    assert float(np.abs(res.wav).max()) > 1e-3
+
+
 def test_demo_checkpoint_batch_serving(synth):
     meta = json.loads((DEMO / "preprocessed" / "audiotype.json").read_text())
     classes = list(meta)
