@@ -67,9 +67,11 @@ def main():
         "image_cells": jnp.asarray(
             rng.uniform(0, 1, (B, C, 24, 102)).astype(np.float32)),
     }
-    variables = model.init(
+    # init under jit: eager op-by-op init of big param sets over the
+    # tunneled platform takes minutes (CLAUDE.md gotchas)
+    variables = jax.jit(lambda: model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        **batch, use_image=True, deterministic=True)
+        **batch, use_image=True, deterministic=True))()
 
     # serving config: bf16 conv compute (f32 accumulation + f32 final
     # conv/tanh; parity-tested vs f32 in tests/test_hifigan.py) — measured
@@ -96,8 +98,8 @@ def main():
         # so all timing syncs MUST go through device_get of this value.
         return jnp.sum(wav[:, ::4097]) + jnp.sum(mel_len), mel_len
 
-    gen_params = gen.init(jax.random.PRNGKey(2),
-                          jnp.zeros((1, 16, 80), jnp.float32))
+    gen_params = jax.jit(gen.init)(jax.random.PRNGKey(2),
+                                   jnp.zeros((1, 16, 80), jnp.float32))
 
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     # warmup / compile (device_get = real sync)
@@ -176,8 +178,8 @@ def _full(model, variables, gen, gen_params, batch, B, MAX_MEL, HOP, SR):
     # headline metric above keeps HiFi-GAN for baseline comparability)
     from visual_onoma_to_wave_tpu.models.istftnet import build_istftnet
     igen = build_istftnet("melrate", dtype=gen.dtype)
-    igen_params = igen.init(jax.random.PRNGKey(3),
-                            jnp.zeros((1, 16, 80), jnp.float32))
+    igen_params = jax.jit(igen.init)(jax.random.PRNGKey(3),
+                                     jnp.zeros((1, 16, 80), jnp.float32))
 
     @jax.jit
     def synth_istft(params, batch_stats, igen_params, batch, salt):

@@ -133,7 +133,12 @@ def main() -> int:
                     {"text": texts[i % len(texts)], "audiotype": 0,
                      "d_control": d_control} for i in range(b)]})
                 break
-            except AssertionError as e:
+            except (AssertionError, OSError, http.client.HTTPException,
+                    json.JSONDecodeError) as e:
+                # AssertionError = server-side 504/503; OSError covers
+                # socket.timeout/ConnectionError when the client's own 600 s
+                # socket deadline fires first (stall windows are measured
+                # from enqueue/dispatch, later than the client's send).
                 # 60 s: the wedged upload usually completes within a few
                 # minutes, after which the circuit closes and the retry warms
                 print(f"warm bucket {b} attempt {attempt + 1} failed: {e}; "

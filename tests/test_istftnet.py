@@ -1,6 +1,6 @@
 """iSTFT-head vocoder family (models/istftnet.py; beyond-reference).
 
-Pins: the fixed conv-transpose iSTFT head against a numpy irfft/window/
+Pins: the fixed synthesis-matmul iSTFT head against a numpy irfft/window/
 overlap-add reference, output lengths for both presets, sample-exact
 chunked vocoding, GAN training integration (one step updates the
 generator; the trainer accepts the family), and vocoder registry routing.
@@ -8,6 +8,7 @@ generator; the trainer accepts the family), and vocoder registry routing.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from visual_onoma_to_wave_tpu.models.istftnet import (
     ISTFT_PRESETS,
@@ -83,10 +84,13 @@ def test_generator_shapes_both_presets():
         assert np.isfinite(np.asarray(wav)).all()
 
 
-def test_chunked_vocoding_sample_exact():
+@pytest.mark.parametrize("preset", list(ISTFT_PRESETS))
+def test_chunked_vocoding_sample_exact(preset):
+    # both presets: melrate takes the distinct no-upsample halo branch of
+    # receptive_halo_frames (istftnet.py), used by the committed demo ckpt
     from visual_onoma_to_wave_tpu.models.hifigan import vocoder_infer_chunked
 
-    gen = _tiny("c8c8i")
+    gen = _tiny(preset)
     mel = jnp.asarray(np.random.default_rng(2).normal(size=(1, 70, 80)),
                       jnp.float32)
     params = gen.init(jax.random.PRNGKey(0), mel)

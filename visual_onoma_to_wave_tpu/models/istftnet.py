@@ -65,8 +65,8 @@ ISTFT_PRESETS: dict[str, dict] = {
 def istft_synthesis_kernel(n_fft: int) -> np.ndarray:
     """The fixed synthesis basis implementing irfft+window.
 
-    Returns (n_fft, 2*n_bins, 1) f32 in scatter orientation (output-time
-    order along axis 0). Input channels are
+    Returns (2*n_bins, n_fft) f32 in matmul orientation (spectra @ basis
+    -> windowed time frames). Input rows are
     [Re(X_0)..Re(X_nb-1), Im(X_0)..Im(X_nb-1)]; output position t within a
     frame receives  w[t] * irfft(X)[t]  where
       irfft(X)[t] = (1/N) * sum_k scale_k * (Re X_k cos(2 pi k t / N)
@@ -84,7 +84,7 @@ def istft_synthesis_kernel(n_fft: int) -> np.ndarray:
     w = hann_window(n_fft).astype(np.float64)[None, :]  # (1, n_fft)
     kernel = np.concatenate([scale * np.cos(ang) * w,
                              -scale * np.sin(ang) * w], axis=0)
-    return kernel.T[:, :, None].astype(np.float32)      # (n_fft, 2nb, 1)
+    return kernel.astype(np.float32)                    # (2nb, n_fft)
 
 
 @functools.lru_cache(maxsize=None)
@@ -121,7 +121,7 @@ def istft_overlap_add(frames_ri: jnp.ndarray, n_fft: int) -> jnp.ndarray:
     """
     hop = n_fft // 4
     b, n, _ = frames_ri.shape
-    basis = jnp.asarray(istft_synthesis_kernel(n_fft)[:, :, 0].T)
+    basis = jnp.asarray(istft_synthesis_kernel(n_fft))
     y = jnp.matmul(frames_ri.astype(jnp.float32), basis,
                    precision=jax.lax.Precision.HIGHEST)    # (B, N, n_fft)
     y = y.reshape(b, n, 4, hop)

@@ -12,8 +12,12 @@ headline is measured on).
 Design:
   * handler threads enqueue requests and wait on per-request events;
   * ONE worker thread drains the queue into batches of up to max_batch
-    within a batch_window_ms collection window and runs the device call —
-    keeping all JAX dispatch single-threaded;
+    within a batch_window_ms collection window; the device call itself runs
+    on a dispatch thread so the worker can collect + dispatch batch n+1
+    while batch n round-trips the device (pipeline_depth in-flight
+    dispatches, default 2 — so up to that many threads touch JAX
+    concurrently; the Synthesizer's lazy executable construction is
+    internally locked for this);
   * e/d controls are per-item traced inputs of the fused executable, so
     requests with different controls share one device batch and any
     control value reuses the compiled executable (no recompile risk from

@@ -11,6 +11,7 @@ durations, vocode the postnet mel with HiFi-GAN.
 from __future__ import annotations
 
 import functools
+import threading
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
@@ -102,6 +103,12 @@ class Synthesizer:
         self._check_glyph_source()
         self._synth_step = make_synth_step(model, self.use_image)
         self._fused_step = None
+        # serializes lazy executable/module construction: the pipelined
+        # serving worker (serve.py) can have two in-flight _device_call
+        # threads; without this, concurrent first calls each build their own
+        # jit closure and the identical executable compiles (and, on the
+        # tunneled platform, parameter-uploads) twice
+        self._init_lock = threading.RLock()
         # pad text/mel to small buckets to bound jit specializations
         self.text_bucket = 4
         self.mel_bucket = 64
@@ -322,30 +329,37 @@ class Synthesizer:
         (model(...) then vocoder_infer, utils/model.py:73-98)."""
         if self._fused_step is not None:
             return self._fused_step
-        from visual_onoma_to_wave_tpu.models.melgan import MelGANGenerator
-        gen = self._vocoder_module()
-        fused = make_fused_infer(
-            self.model, gen, self.use_image,
-            is_melgan=isinstance(gen, MelGANGenerator))
+        with self._init_lock:
+            if self._fused_step is not None:
+                return self._fused_step
+            from visual_onoma_to_wave_tpu.models.melgan import MelGANGenerator
+            gen = self._vocoder_module()
+            fused = make_fused_infer(
+                self.model, gen, self.use_image,
+                is_melgan=isinstance(gen, MelGANGenerator))
 
-        def run(state, vocoder_params, batch, e_control=1.0, d_control=1.0):
-            return fused(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                vocoder_params, batch, e_control=e_control,
-                d_control=d_control)
+            def run(state, vocoder_params, batch,
+                    e_control=1.0, d_control=1.0):
+                return fused(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    vocoder_params, batch, e_control=e_control,
+                    d_control=d_control)
 
-        self._fused_step = run
-        return run
+            self._fused_step = run
+            return run
 
     def _vocoder_module(self):
         """The configured generator module (family + any architecture
         overrides from config.model.vocoder_kwargs), built once."""
-        if self.vocoder is None:
-            from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
-            self.vocoder = get_vocoder(
-                self.config.model.vocoder_model,
-                **dict(self.config.model.vocoder_kwargs))
-        return self.vocoder
+        with self._init_lock:
+            if self.vocoder is None:
+                from visual_onoma_to_wave_tpu.models.vocoder import (
+                    get_vocoder)
+                self.vocoder = get_vocoder(
+                    self.config.model.vocoder_model,
+                    **dict(self.config.model.vocoder_kwargs))
+            return self.vocoder
 
     def vocode(self, mels: np.ndarray, mel_lens: Sequence[int]
                ) -> list[np.ndarray]:
