@@ -1,0 +1,148 @@
+"""Matched-budget quality head-to-head of the vocoder families on TPU.
+
+Trains HiFi-GAN V1, iSTFTNet C8C8I and iSTFTNet-mel FROM SCRATCH with the
+same data, batch, step budget and GAN recipe (training/vocoder_trainer.py),
+then scores copy-synthesis on held-out clips: vocode each clip's
+ground-truth log-mel, re-analyze the generated waveform with the same DSP,
+and report mel L1 + frame-aligned MCD vs the ground truth (metrics.py).
+This gives the family speed table (benchmarks/bench_istftnet.py,
+BASELINE.md) its quality counterpart: the fast iSTFT heads must land in
+the same quality ballpark at a matched training budget, or the speedup is
+not a free lunch. (The reference ships only the pretrained HiFi-GAN and no
+objective quality metric at all — scripts/evaluate.py logs audio for human
+listening.)
+
+Corpus: deterministic structured clips at 22.05 kHz in the RWCP-SSD
+domain the reference targets — damped harmonic bell strikes and
+noise-burst drum hits with randomized pitch/decay/onsets; 24 clips,
+4 held out (never sampled by the trainer).
+
+Methodology per CLAUDE.md: everything device-side runs inside jit; syncs
+go through device_get of the fetched arrays themselves (block_until_ready
+is a no-op on the tunneled platform).
+
+Usage:
+    python benchmarks/bench_vocoder_quality.py [--steps N] \
+        [--families hifigan,istftnet,istftnet-mel] [--batch N]
+Prints one JSON line per family.
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+SR = 22050
+
+
+def _clip(rng: np.random.Generator) -> np.ndarray:
+    """One structured environmental-sound clip: 2-4 onsets, each a bell
+    (harmonic stack, slow decay) or drum (noise burst + damped tone)."""
+    n = int(rng.uniform(1.2, 1.8) * SR)
+    out = np.zeros(n, np.float32)
+    for _ in range(int(rng.integers(2, 5))):
+        start = int(rng.uniform(0.0, 0.7) * n)
+        dur = min(n - start, int(rng.uniform(0.25, 0.6) * SR))
+        t = np.arange(dur) / SR
+        f = float(rng.uniform(180.0, 900.0))
+        if rng.uniform() < 0.5:  # bell
+            env = np.exp(-t * rng.uniform(4.0, 9.0))
+            tone = sum(a * np.sin(2 * np.pi * f * h * t)
+                       for a, h in ((0.6, 1.0), (0.25, 2.76), (0.15, 5.40)))
+        else:  # drum
+            env = np.exp(-t * rng.uniform(14.0, 25.0))
+            tone = (0.6 * np.sin(2 * np.pi * f * t)
+                    + rng.normal(0, 0.3, dur) * np.exp(-t * 60.0))
+        out[start:start + dur] += (0.6 * env * tone).astype(np.float32)
+    return np.clip(out, -1.0, 1.0)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from visual_onoma_to_wave_tpu.metrics import mcd_frames, mel_l1
+    from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
+    from visual_onoma_to_wave_tpu.ops.stft import (
+        hann_window, logmel_and_energy, melscale_fbanks)
+    from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
+        VocoderTrainConfig, VocoderTrainer)
+
+    steps = 2000
+    if "--steps" in sys.argv:
+        steps = int(sys.argv[sys.argv.index("--steps") + 1])
+    batch = 16
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    families = ["hifigan", "istftnet", "istftnet-mel"]
+    if "--families" in sys.argv:
+        families = sys.argv[sys.argv.index("--families") + 1].split(",")
+    dtype = "bfloat16" if "--bf16" in sys.argv else "float32"
+
+    rng = np.random.default_rng(0)
+    clips = [_clip(rng) for _ in range(24)]
+    train_clips, held_out = clips[:20], clips[20:]
+
+    cfg = VocoderTrainConfig(total_steps=steps, batch_size=batch,
+                             save_every=10 ** 9, log_every=max(steps // 4, 1),
+                             compute_dtype=dtype)
+    window = jnp.asarray(hann_window(cfg.win_length))
+    fb = jnp.asarray(melscale_fbanks(cfg.n_fft // 2 + 1, cfg.f_min,
+                                     cfg.f_max, cfg.n_mels,
+                                     cfg.sampling_rate))
+
+    @jax.jit
+    def logmel(audio):
+        m, _ = logmel_and_energy(audio, window, fb, cfg.n_fft,
+                                 cfg.hop_length, cfg.win_length)
+        return m                                        # (B, n_mels, T)
+
+    # ground-truth mels of the held-out clips, each trimmed to a whole
+    # number of hops so vocoded length == clip length exactly
+    gt = []
+    for c in held_out:
+        t = len(c) // cfg.hop_length
+        audio = c[: t * cfg.hop_length]
+        mel = np.asarray(jax.device_get(logmel(jnp.asarray(audio)[None])))[0]
+        gt.append((audio, mel))                         # mel: (n_mels, T)
+
+    for family in families:
+        gen = (get_vocoder(family, dtype=jnp.dtype(dtype))
+               if family != "hifigan" else None)
+        t0 = time.perf_counter()
+        vt = VocoderTrainer(train_clips, cfg, gen=gen, use_mesh=False)
+        vt.train()
+        train_s = time.perf_counter() - t0
+
+        @jax.jit
+        def vocode(mel_bt, gen=vt.gen, params=vt.state.gen_params):
+            return gen.apply(params, mel_bt)            # (B, T*hop)
+
+        l1s, mcds = [], []
+        for audio, mel in gt:
+            wav = np.asarray(jax.device_get(
+                vocode(jnp.asarray(mel.T)[None])))[0][: len(audio)]
+            mel2 = np.asarray(jax.device_get(
+                logmel(jnp.asarray(np.clip(wav, -1.0, 1.0))[None])))[0]
+            t = min(mel.shape[1], mel2.shape[1])
+            l1s.append(mel_l1(mel2[:, :t].T, mel[:, :t].T))
+            mcds.append(mcd_frames(mel2[:, :t].T, mel[:, :t].T))
+        print(json.dumps({
+            "metric": "vocoder_copy_synthesis_quality",
+            "family": family, "steps": steps, "batch": batch,
+            "dtype": dtype,
+            "train_s": round(train_s, 1),
+            "held_out_clips": len(gt),
+            "mel_l1": round(float(np.mean(l1s)), 4),
+            "mcd_db": round(float(np.mean(mcds)), 2),
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -79,6 +79,12 @@ def test_demo_checkpoint_alt_istft_vocoder():
     assert np.isfinite(res.wav).all()
     assert res.wav.shape[0] == res.mel_len * 256
     assert float(np.abs(res.wav).max()) > 1e-3
+    # the batched fused path is family-agnostic too
+    batch = synth.synthesize_batch(["パン", "ドドド"],
+                                   [next(iter(meta))] * 2, return_mel=False)
+    for r in batch:
+        assert r.wav is not None and np.isfinite(r.wav).all()
+        assert r.wav.shape[0] == r.mel_len * 256
 
 
 def test_demo_checkpoint_batch_serving(synth):
