@@ -37,12 +37,13 @@ def main() -> int:
     family = "hifigan"
     if "--family" in sys.argv:
         family = sys.argv[sys.argv.index("--family") + 1]
+    dtype = "bfloat16" if "--bf16" in sys.argv else "float32"
     gen = None
     if family != "hifigan":
         from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
-        gen = get_vocoder(family)
+        gen = get_vocoder(family, dtype=jnp.dtype(dtype))
 
-    cfg = VocoderTrainConfig(batch_size=batch)
+    cfg = VocoderTrainConfig(batch_size=batch, compute_dtype=dtype)
     rng = np.random.default_rng(0)
     clips = [rng.uniform(-0.5, 0.5, 30000).astype(np.float32)
              for _ in range(8)]
@@ -69,7 +70,7 @@ def main() -> int:
     audio_sec = batch * cfg.segment_size / cfg.sampling_rate
     print(json.dumps({
         "metric": "vocoder_gan_train_step",
-        "family": family,
+        "family": family, "dtype": dtype,
         "batch": batch, "segment": cfg.segment_size,
         "step_ms": round(dt * 1e3, 2),
         "audio_sec_per_sec": round(audio_sec / dt, 1),

@@ -447,3 +447,52 @@ def test_single_forward_vjp_step_matches_recompute_formulation():
                     jax.tree.leaves(jax.device_get(msd_b))):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
     assert np.isfinite(float(metrics_a["g_total"]))
+
+
+def test_bf16_mixed_precision_step_trains():
+    """compute_dtype="bfloat16": convs compute at bf16 but params, losses
+    and the mel DSP stay f32 — one step runs finite, every param group
+    (still f32) moves, and a short run reduces mel L1 like the f32 path
+    (the on-chip full-size convergence validation is in docs/PERF.md)."""
+    rng = np.random.default_rng(5)
+    t = np.arange(6000) / 22050.0
+    clip = (0.5 * np.sin(2 * np.pi * 220 * t)
+            + rng.normal(0, 0.05, 6000)).astype(np.float32)
+    cfg = _tiny_cfg(learning_rate=5e-4, compute_dtype="bfloat16")
+    gen = HiFiGANGenerator(
+        upsample_rates=(8, 8, 2, 2), upsample_kernel_sizes=(16, 16, 4, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 2),), dtype=jnp.bfloat16)
+    trainer = VocoderTrainer(
+        [clip], cfg, gen=gen, use_mesh=False,
+        mpd=MultiPeriodDiscriminator(**TINY_MPD, dtype=jnp.bfloat16),
+        msd=MultiScaleDiscriminator(**TINY_MSD, dtype=jnp.bfloat16))
+
+    for leaf in jax.tree.leaves(trainer.state.gen_params):
+        assert leaf.dtype == jnp.float32  # master params stay f32
+    p0 = jax.device_get(trainer.state.gen_params)
+    audio = jnp.asarray(trainer.sampler.next_batch())
+    state1, m1 = trainer.train_step(trainer.state, audio)
+    for k in ("d_total", "g_adv", "g_fm", "mel_l1", "g_total"):
+        assert np.isfinite(float(m1[k])), k
+    p1 = jax.device_get(state1.gen_params)
+    assert any(np.abs(a - b).max() > 0 for a, b in
+               zip(jax.tree.leaves(p0), jax.tree.leaves(p1)))
+    for leaf in jax.tree.leaves(state1.gen_params):
+        assert leaf.dtype == jnp.float32
+
+    trainer.state = state1
+    first = float(m1["mel_l1"])
+    state = trainer.train(steps=30)
+    audio = jnp.asarray(trainer.sampler.next_batch())
+    _, m = trainer.train_step(state, audio)
+    assert float(m["mel_l1"]) < first
+
+
+def test_default_trainer_modules_pick_up_compute_dtype():
+    cfg = _tiny_cfg(compute_dtype="bfloat16")
+    trainer = VocoderTrainer([np.zeros(4096, np.float32)], cfg,
+                             use_mesh=False)
+    assert trainer.gen.dtype == jnp.bfloat16
+    assert trainer.mpd.dtype == jnp.bfloat16
+    assert trainer.msd.dtype == jnp.bfloat16

@@ -157,11 +157,14 @@ def cmd_train_vocoder(args):
     cfg = VocoderTrainConfig(
         segment_size=args.segment_size, batch_size=args.batch_size,
         learning_rate=args.lr, total_steps=args.steps,
-        save_every=args.save_every, seed=args.seed)
+        save_every=args.save_every, seed=args.seed,
+        compute_dtype="bfloat16" if args.bf16 else "float32")
     gen = None
     if args.family != "hifigan":
+        import jax.numpy as jnp
+
         from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
-        gen = get_vocoder(args.family)
+        gen = get_vocoder(args.family, dtype=jnp.dtype(cfg.compute_dtype))
     clips = load_wav_dir(args.wav_dir, target_sr=cfg.sampling_rate)
     print(f"training {args.family} on {len(clips)} clips "
           f"({sum(len(c) for c in clips) / cfg.sampling_rate:.0f}s of audio)")
@@ -314,6 +317,9 @@ def main(argv=None):
                         "istftnet (C8C8I; drops the MXU-starved small-"
                         "channel tail), istftnet-mel (mel-rate trunk + "
                         "full iSTFT head)")
+    s.add_argument("--bf16", action="store_true",
+                   help="mixed-precision GAN step (bf16 conv compute, f32 "
+                        "params/losses/DSP): ~1.25x faster on v5e")
     s.set_defaults(fn=cmd_train_vocoder)
 
     s = sub.add_parser("convert-acoustic",

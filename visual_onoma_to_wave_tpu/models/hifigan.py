@@ -39,11 +39,14 @@ def _conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None,
     conv inputs (bf16 doubles MXU throughput); accumulation is always f32."""
     k = w.shape[0]
     pad = dilation * (k - 1) // 2
+    # no preferred_element_type: TPU convs accumulate f32 regardless and
+    # round once to the output dtype (identical numerics to an f32 output +
+    # astype), while mixed preferred/operand dtypes break the conv's
+    # transpose rule under grad (bf16 GAN training)
     out = jax.lax.conv_general_dilated(
         x.astype(dtype), w.astype(dtype), window_strides=(stride,),
         padding=[(pad, pad)], rhs_dilation=(dilation,),
         dimension_numbers=("NHC", "HIO", "NHC"),
-        preferred_element_type=jnp.float32,
     ).astype(dtype)
     return out + b.astype(dtype) if b is not None else out
 
@@ -60,7 +63,6 @@ def _conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None,
         x.astype(dtype), w.astype(dtype), window_strides=(1,),
         padding=[(pad, pad)], lhs_dilation=(stride,),
         dimension_numbers=("NHC", "HIO", "NHC"),
-        preferred_element_type=jnp.float32,
     ).astype(dtype)
     return out + b.astype(dtype) if b is not None else out
 

@@ -53,6 +53,10 @@ class WNConv(nn.Module):
     strides: Sequence[int] = None
     padding: Sequence[tuple[int, int]] | str = "SAME"
     feature_group_count: int = 1
+    # compute precision: params and the weight-norm math stay f32; the conv
+    # runs in `dtype` with f32 accumulation and inter-layer activations
+    # travel at `dtype` width (the HBM-bandwidth win; mirrors hifigan.py)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -66,12 +70,15 @@ class WNConv(nn.Module):
         w = (g / norm) * v
         b = self.param("b", nn.initializers.zeros, (self.features,))
         dn = ("NHC", "HIO", "NHC") if len(k) == 1 else ("NHWC", "HWIO", "NHWC")
+        # no preferred_element_type: TPU accumulates f32 regardless, and
+        # a mixed preferred/operand dtype breaks the conv transpose rule
+        # under grad (see models/hifigan.py _conv1d)
         out = jax.lax.conv_general_dilated(
-            x, w, window_strides=tuple(self.strides or (1,) * len(k)),
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=tuple(self.strides or (1,) * len(k)),
             padding=self.padding, dimension_numbers=dn,
-            feature_group_count=self.feature_group_count,
-            preferred_element_type=jnp.float32)
-        return out + b
+            feature_group_count=self.feature_group_count).astype(self.dtype)
+        return out + b.astype(self.dtype)
 
 
 class PeriodDiscriminator(nn.Module):
@@ -79,10 +86,11 @@ class PeriodDiscriminator(nn.Module):
 
     period: int
     channels: tuple[int, ...] = (32, 128, 512, 1024)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
-        """x: (B, T) -> (logits (B, N), feature maps)."""
+        """x: (B, T) -> (logits (B, N) f32, feature maps at self.dtype)."""
         b, t = x.shape
         p = self.period
         pad = (-t) % p
@@ -92,26 +100,28 @@ class PeriodDiscriminator(nn.Module):
         fmaps = []
         for ch in self.channels:
             h = WNConv(ch, (5, 1), strides=(3, 1),
-                       padding=((2, 2), (0, 0)))(h)
+                       padding=((2, 2), (0, 0)), dtype=self.dtype)(h)
             h = nn.leaky_relu(h, LRELU_SLOPE)
             fmaps.append(h)
         h = WNConv(self.channels[-1], (5, 1), strides=(1, 1),
-                   padding=((2, 2), (0, 0)))(h)
+                   padding=((2, 2), (0, 0)), dtype=self.dtype)(h)
         h = nn.leaky_relu(h, LRELU_SLOPE)
         fmaps.append(h)
-        h = WNConv(1, (3, 1), strides=(1, 1), padding=((1, 1), (0, 0)))(h)
+        h = WNConv(1, (3, 1), strides=(1, 1), padding=((1, 1), (0, 0)),
+                   dtype=self.dtype)(h)
         fmaps.append(h)
-        return h.reshape(b, -1), fmaps
+        return h.reshape(b, -1).astype(jnp.float32), fmaps
 
 
 class ScaleDiscriminator(nn.Module):
     """One MSD sub-discriminator: grouped Conv1d stack on raw audio."""
 
     channels: int = 128  # official: 128 -> ... -> 1024
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
-        """x: (B, T) -> (logits (B, N), feature maps)."""
+        """x: (B, T) -> (logits (B, N) f32, feature maps at self.dtype)."""
         b = x.shape[0]
         c = self.channels
         h = x[:, :, None]                                # (B, T, 1)
@@ -131,12 +141,13 @@ class ScaleDiscriminator(nn.Module):
             g = int(np.gcd(np.gcd(sp["g"], h.shape[-1]), sp["ch"]))
             h = WNConv(sp["ch"], (sp["k"],), strides=(sp["s"],),
                        padding=((sp["pad"], sp["pad"]),),
-                       feature_group_count=g)(h)
+                       feature_group_count=g, dtype=self.dtype)(h)
             h = nn.leaky_relu(h, LRELU_SLOPE)
             fmaps.append(h)
-        h = WNConv(1, (3,), strides=(1,), padding=((1, 1),))(h)
+        h = WNConv(1, (3,), strides=(1,), padding=((1, 1),),
+                   dtype=self.dtype)(h)
         fmaps.append(h)
-        return h.reshape(b, -1), fmaps
+        return h.reshape(b, -1).astype(jnp.float32), fmaps
 
 
 def _avg_pool1d(x: jnp.ndarray, kernel: int = 4, stride: int = 2,
@@ -151,6 +162,7 @@ def _avg_pool1d(x: jnp.ndarray, kernel: int = 4, stride: int = 2,
 class MultiPeriodDiscriminator(nn.Module):
     periods: tuple[int, ...] = (2, 3, 5, 7, 11)
     channels: tuple[int, ...] = (32, 128, 512, 1024)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
@@ -160,7 +172,8 @@ class MultiPeriodDiscriminator(nn.Module):
         """
         rs, gs, fr, fg = [], [], [], []
         for p in self.periods:
-            d = PeriodDiscriminator(p, self.channels, name=f"p{p}")
+            d = PeriodDiscriminator(p, self.channels, dtype=self.dtype,
+                                    name=f"p{p}")
             lr, mr = d(y)
             lg, mg = d(y_hat)
             rs.append(lr), gs.append(lg), fr.append(mr), fg.append(mg)
@@ -170,12 +183,14 @@ class MultiPeriodDiscriminator(nn.Module):
 class MultiScaleDiscriminator(nn.Module):
     n_scales: int = 3
     channels: int = 128
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
         rs, gs, fr, fg = [], [], [], []
         for s in range(self.n_scales):
-            d = ScaleDiscriminator(self.channels, name=f"s{s}")
+            d = ScaleDiscriminator(self.channels, dtype=self.dtype,
+                                    name=f"s{s}")
             lr, mr = d(y)
             lg, mg = d(y_hat)
             rs.append(lr), gs.append(lg), fr.append(mr), fg.append(mg)
@@ -193,6 +208,8 @@ def discriminator_loss(real_logits, gen_logits) -> jnp.ndarray:
     """sum_k E[(1 - D_k(y))^2] + E[D_k(y_hat)^2]."""
     loss = 0.0
     for dr, dg in zip(real_logits, gen_logits):
+        dr = dr.astype(jnp.float32)
+        dg = dg.astype(jnp.float32)
         loss = loss + jnp.mean((1.0 - dr) ** 2) + jnp.mean(dg ** 2)
     return loss
 
@@ -201,7 +218,7 @@ def generator_adversarial_loss(gen_logits) -> jnp.ndarray:
     """sum_k E[(1 - D_k(y_hat))^2]."""
     loss = 0.0
     for dg in gen_logits:
-        loss = loss + jnp.mean((1.0 - dg) ** 2)
+        loss = loss + jnp.mean((1.0 - dg.astype(jnp.float32)) ** 2)
     return loss
 
 
@@ -210,5 +227,6 @@ def feature_matching_loss(real_fmaps, gen_fmaps) -> jnp.ndarray:
     loss = 0.0
     for mr, mg in zip(real_fmaps, gen_fmaps):
         for r, g in zip(mr, mg):
-            loss = loss + jnp.mean(jnp.abs(r - g))
+            loss = loss + jnp.mean(jnp.abs(r.astype(jnp.float32)
+                                           - g.astype(jnp.float32)))
     return 2.0 * loss

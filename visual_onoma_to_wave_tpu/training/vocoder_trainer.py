@@ -74,6 +74,12 @@ class VocoderTrainConfig:
     n_mels: int = 80
     f_min: float = 0.0
     f_max: float = 8000.0
+    # "bfloat16" = mixed-precision GAN step: G/D convs compute at bf16 with
+    # f32 accumulation; params, optimizer, losses and the mel DSP stay f32.
+    # Measured ~1.25x step time on v5e at B=16x8192 with matched-budget
+    # quality parity (benchmarks/bench_vocoder_train.py --bf16,
+    # bench_vocoder_quality.py --bf16; docs/PERF.md).
+    compute_dtype: str = "float32"
 
 
 @flax.struct.dataclass
@@ -322,9 +328,10 @@ class VocoderTrainer:
                  msd: MultiScaleDiscriminator | None = None,
                  pairs=None):
         self.cfg = cfg or VocoderTrainConfig()
-        self.gen = gen or HiFiGANGenerator()
-        self.mpd = mpd or MultiPeriodDiscriminator()
-        self.msd = msd or MultiScaleDiscriminator()
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        self.gen = gen if gen is not None else HiFiGANGenerator(dtype=dtype)
+        self.mpd = mpd or MultiPeriodDiscriminator(dtype=dtype)
+        self.msd = msd or MultiScaleDiscriminator(dtype=dtype)
         if pairs is not None:  # fine-tuning on (audio, predicted-mel) pairs
             self.sampler = PairedSegmentSampler(pairs, self.cfg)
         else:
