@@ -44,7 +44,6 @@ def _timed(fn, args_of, iters=5):
 def main() -> int:
     import jax
     import jax.numpy as jnp
-    import optax
 
     from visual_onoma_to_wave_tpu.models.hifigan_disc import (
         discriminator_loss, feature_matching_loss,
@@ -86,8 +85,8 @@ def main() -> int:
 
     audio0 = jnp.asarray(vt.sampler.next_batch())
     mel0 = jax.jit(mel_of)(audio0)
-    y_hat0 = jax.jit(lambda m: gen_mod.apply(st.gen_params,
-                                             m.swapaxes(1, 2)))(mel0)
+    y_hat0 = jax.jit(lambda gp, m: gen_mod.apply(gp, m.swapaxes(1, 2)))(
+        st.gen_params, mel0)
 
     def salt_audio(i):
         return (audio0 + jnp.float32(1e-4 * i),)
@@ -99,10 +98,7 @@ def main() -> int:
         return (audio0 + jnp.float32(1e-4 * i),
                 y_hat0 + jnp.float32(1e-4 * i))
 
-    results = {}
-
     def emit(name, dt):
-        results[name] = dt
         print(json.dumps({"metric": "gan_step_phase", "family": family,
                           "batch": batch, "phase": name,
                           "ms": round(dt * 1e3, 2)}), flush=True)

@@ -119,14 +119,17 @@ def main() -> int:
         vt.train()
         train_s = time.perf_counter() - t0
 
+        # params as jit ARGUMENTS, never closure/default-arg constants
+        # (closed-over trees 413 the tunneled remote_compile endpoint)
         @jax.jit
-        def vocode(mel_bt, gen=vt.gen, params=vt.state.gen_params):
+        def vocode(params, mel_bt, gen=vt.gen):
             return gen.apply(params, mel_bt)            # (B, T*hop)
 
         l1s, mcds = [], []
         for audio, mel in gt:
             wav = np.asarray(jax.device_get(
-                vocode(jnp.asarray(mel.T)[None])))[0][: len(audio)]
+                vocode(vt.state.gen_params,
+                       jnp.asarray(mel.T)[None])))[0][: len(audio)]
             mel2 = np.asarray(jax.device_get(
                 logmel(jnp.asarray(np.clip(wav, -1.0, 1.0))[None])))[0]
             t = min(mel.shape[1], mel2.shape[1])
