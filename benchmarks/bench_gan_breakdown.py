@@ -29,7 +29,18 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def _timed(fn, args_of, iters=5):
+    """Returns (seconds, model_flops): wall time per execution plus XLA
+    cost_analysis FLOPs of the jitted fn, so each phase line carries its
+    achieved-TFLOPS distance from the hardware roof."""
     import jax
+    flops = None
+    try:
+        c = fn.lower(*args_of(0)).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        flops = float(c.get("flops", 0.0)) or None
+    except Exception:
+        pass  # cost_analysis is best-effort across backends
     out = fn(*args_of(0))
     float(jax.device_get(jax.tree.leaves(out)[0].ravel()[0]))
     out = fn(*args_of(1))
@@ -38,7 +49,7 @@ def _timed(fn, args_of, iters=5):
     for i in range(iters):
         out = fn(*args_of(2 + i))
     float(jax.device_get(jax.tree.leaves(out)[0].ravel()[0]))
-    return (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / iters, flops
 
 
 def main() -> int:
@@ -98,10 +109,14 @@ def main() -> int:
         return (audio0 + jnp.float32(1e-4 * i),
                 y_hat0 + jnp.float32(1e-4 * i))
 
-    def emit(name, dt):
-        print(json.dumps({"metric": "gan_step_phase", "family": family,
-                          "batch": batch, "phase": name,
-                          "ms": round(dt * 1e3, 2)}), flush=True)
+    def emit(name, timing):
+        dt, flops = timing if isinstance(timing, tuple) else (timing, None)
+        rec = {"metric": "gan_step_phase", "family": family,
+               "batch": batch, "phase": name, "ms": round(dt * 1e3, 2)}
+        if flops:
+            rec["model_tflop"] = round(flops / 1e12, 3)
+            rec["achieved_tflops"] = round(flops / dt / 1e12, 1)
+        print(json.dumps(rec), flush=True)
 
     # params always travel as jit ARGUMENTS: a closure would bake the trees
     # into the HLO as literal constants, and the tunneled remote_compile
