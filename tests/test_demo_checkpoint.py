@@ -87,6 +87,42 @@ def test_demo_checkpoint_alt_istft_vocoder():
         assert r.wav.shape[0] == r.mel_len * 256
 
 
+def test_cli_synthesize_batch(tmp_path):
+    """`cli synthesize-batch` writes one wav per input row for both row
+    formats (split-style name|audiotype|fontsize|font|text and TSV)."""
+    import wave
+
+    from visual_onoma_to_wave_tpu.cli import main
+
+    meta = json.loads((DEMO / "preprocessed" / "audiotype.json").read_text())
+    classes = list(meta)
+    inp = tmp_path / "rows.txt"
+    inp.write_text(
+        f"clip_a|{classes[0]}|24|x|パンパン\n"
+        f"clip_b|{classes[-1]}|24|x|ドド\n",
+        encoding="utf-8")
+    out = tmp_path / "wavs"
+    cfg = tmp_path / "cfg.json"
+    c = json.loads((DEMO / "config.json").read_text())
+    c["path"]["preprocessed"] = str(DEMO / "preprocessed")
+    cfg.write_text(json.dumps(c))
+    rc = main(["synthesize-batch", str(cfg), str(inp), str(out),
+               "--acoustic", str(DEMO / "acoustic"),
+               "--vocoder", str(DEMO / "vocoder"), "--batch-size", "2"])
+    assert rc in (0, None)
+    for name in ("clip_a", "clip_b"):
+        with wave.open(str(out / f"{name}.wav")) as w:
+            assert w.getnframes() > 0
+
+    # TSV format with per-row duration control
+    inp.write_text(f"パン\t{classes[0]}\t1.4\n", encoding="utf-8")
+    rc = main(["synthesize-batch", str(cfg), str(inp), str(out),
+               "--acoustic", str(DEMO / "acoustic"),
+               "--vocoder", str(DEMO / "vocoder")])
+    assert rc in (0, None)
+    assert (out / "00000.wav").exists()
+
+
 def test_demo_checkpoint_batch_serving(synth):
     meta = json.loads((DEMO / "preprocessed" / "audiotype.json").read_text())
     classes = list(meta)
