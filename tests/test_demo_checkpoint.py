@@ -87,6 +87,20 @@ def test_demo_checkpoint_alt_istft_vocoder():
         assert r.wav.shape[0] == r.mel_len * 256
 
 
+def test_text_normalization(synth):
+    """Characters encode_text strips ('{', '}', newline) must not crash the
+    per-character length bookkeeping; empty text raises cleanly."""
+    meta = json.loads((DEMO / "preprocessed" / "audiotype.json").read_text())
+    cls = next(iter(meta))
+    dirty = synth.synthesize("パ{ン}\nパン", cls)
+    clean = synth.synthesize("パンパン", cls)
+    assert dirty.durations.shape == clean.durations.shape
+    with pytest.raises(ValueError, match="empty"):
+        synth.synthesize("{}\n", cls)
+    with pytest.raises(ValueError, match="empty"):
+        synth.synthesize_batch(["パン", ""], [cls, cls])
+
+
 def test_cli_synthesize_batch(tmp_path):
     """`cli synthesize-batch` writes one wav per input row for both row
     formats (split-style name|audiotype|fontsize|font|text and TSV)."""

@@ -230,6 +230,19 @@ class Synthesizer:
             .astype(np.float32) / 255.0
         )
 
+    # characters encode_text strips (reference symbols legacy): normalize
+    # them away at the PUBLIC entry points so every per-character length
+    # (ids, rendered cells, width_rates, durations) agrees — otherwise a
+    # "{"/"}"/newline in the text crashes with an opaque broadcast error
+    _TEXT_STRIP = str.maketrans("", "", "{}\n")
+
+    def _clean_text(self, text: str) -> str:
+        clean = text.translate(self._TEXT_STRIP)
+        if not clean:
+            raise ValueError(
+                "text is empty (after removing '{', '}' and newlines)")
+        return clean
+
     def synthesize(
         self,
         text: str,
@@ -242,6 +255,7 @@ class Synthesizer:
             audiotype_id = self.metadata.audiotype_map[audiotype]
         else:
             audiotype_id = int(audiotype)
+        text = self._clean_text(text)
         n = len(text)
         if width_rates is None:
             width_rates = [1.0] * n
@@ -401,6 +415,7 @@ class Synthesizer:
         the device (results carry mel=None but mel_len is always set) — the
         HTTP server uses this, since it only reports frame counts."""
         assert len(texts) == len(audiotypes)
+        texts = [self._clean_text(t) for t in texts]
         bsz = len(texts)
         if width_rates is None:
             width_rates = [None] * bsz
