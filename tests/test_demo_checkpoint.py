@@ -101,6 +101,25 @@ def test_text_normalization(synth):
         synth.synthesize_batch(["パン", ""], [cls, cls])
 
 
+def test_library_input_validation(synth):
+    """Unknown audiotypes and bad numeric controls raise clear ValueErrors
+    at the library surface (mirroring the HTTP edge's checks)."""
+    meta = json.loads((DEMO / "preprocessed" / "audiotype.json").read_text())
+    cls = next(iter(meta))
+    with pytest.raises(ValueError, match="valid classes"):
+        synth.synthesize("パン", "no-such-class")
+    with pytest.raises(ValueError, match="d_control"):
+        synth.synthesize("パン", cls, d_control=float("nan"))
+    with pytest.raises(ValueError, match="e_control"):
+        synth.synthesize("パン", cls, e_control=-1.0)
+    with pytest.raises(ValueError, match="width_rates"):
+        synth.synthesize("パン", cls, width_rates=[1.0, 0.0])
+    with pytest.raises(ValueError, match="valid classes"):
+        synth.synthesize_batch(["パン"], ["no-such-class"])
+    with pytest.raises(ValueError, match="d_control"):
+        synth.synthesize_batch(["パン"], [cls], d_control=[float("inf")])
+
+
 def test_cli_synthesize_batch(tmp_path):
     """`cli synthesize-batch` writes one wav per input row for both row
     formats (split-style name|audiotype|fontsize|font|text and TSV)."""

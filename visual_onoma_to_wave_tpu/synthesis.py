@@ -243,6 +243,32 @@ class Synthesizer:
                 "text is empty (after removing '{', '}' and newlines)")
         return clean
 
+    def _audiotype_id(self, audiotype: str | int) -> int:
+        if isinstance(audiotype, str):
+            try:
+                return self.metadata.audiotype_map[audiotype]
+            except KeyError:
+                raise ValueError(
+                    f"unknown audiotype {audiotype!r}; valid classes: "
+                    f"{sorted(self.metadata.audiotype_map)}") from None
+        return int(audiotype)
+
+    @staticmethod
+    def _check_controls(e_control, d_control, width_rates=None) -> None:
+        """Clear errors for non-finite/non-positive controls — traced NaN
+        controls would otherwise silently produce garbage durations, and a
+        zero width rate crashes the renderer's glyph resize (the HTTP edge
+        enforces the same; this covers direct library users)."""
+        for name, v in (("e_control", e_control), ("d_control", d_control)):
+            arr = np.asarray(v, np.float64)
+            if not np.all(np.isfinite(arr)) or np.any(arr < 0):
+                raise ValueError(f"{name} must be finite and >= 0, got {v!r}")
+        if width_rates is not None:
+            arr = np.asarray(list(width_rates), np.float64)
+            if not np.all(np.isfinite(arr)) or np.any(arr <= 0):
+                raise ValueError(
+                    f"width_rates must be finite and > 0, got {width_rates!r}")
+
     def synthesize(
         self,
         text: str,
@@ -251,15 +277,13 @@ class Synthesizer:
         e_control: float = 1.0,
         d_control: float = 1.0,
     ) -> SynthesisResult:
-        if isinstance(audiotype, str):
-            audiotype_id = self.metadata.audiotype_map[audiotype]
-        else:
-            audiotype_id = int(audiotype)
+        audiotype_id = self._audiotype_id(audiotype)
         text = self._clean_text(text)
         n = len(text)
         if width_rates is None:
             width_rates = [1.0] * n
         assert len(width_rates) == n
+        self._check_controls(e_control, d_control, width_rates)
 
         C = ((n + self.text_bucket - 1) // self.text_bucket) * self.text_bucket
         texts = np.zeros((1, C), np.int32)
@@ -419,6 +443,8 @@ class Synthesizer:
         bsz = len(texts)
         if width_rates is None:
             width_rates = [None] * bsz
+        for wr in width_rates:
+            self._check_controls(e_control, d_control, wr)
         b_pad, C = self.batch_signature(texts)
 
         ids = np.zeros((b_pad,), np.int32)
@@ -428,8 +454,7 @@ class Synthesizer:
         cells = np.ones((b_pad, C, h, self.cell_width), np.float32)
         images = []
         for i, (text, at) in enumerate(zip(texts, audiotypes)):
-            ids[i] = (self.metadata.audiotype_map[at]
-                      if isinstance(at, str) else int(at))
+            ids[i] = self._audiotype_id(at)
             n = len(text)
             src_lens[i] = n
             text_ids[i, :n] = self._encode(text)
