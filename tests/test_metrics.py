@@ -135,6 +135,30 @@ def test_trainer_evaluate_metrics(tiny_env):  # noqa: F811
         trainer.ckpt.close()
 
 
+def test_val_metrics_flag_logs_quality_in_train_loop(tiny_env):  # noqa: F811
+    """train.step.val_metrics=True makes the periodic validation log the
+    quality metrics to the val metrics stream."""
+    import dataclasses
+    import json as _json
+    import pathlib
+
+    from visual_onoma_to_wave_tpu.training.trainer import Trainer
+
+    cfg = tiny_env.replace(train=dataclasses.replace(
+        tiny_env.train, step=dataclasses.replace(
+            tiny_env.train.step, total_step=3, val_step=3,
+            synth_step=10 ** 9, save_step=10 ** 9, val_metrics=True)))
+    trainer = Trainer(cfg, use_mesh=False)
+    try:
+        trainer.train()
+    finally:
+        trainer.ckpt.close()
+    rows = [_json.loads(l) for l in
+            (pathlib.Path(cfg.path.log) / "val" / "metrics.jsonl"
+             ).read_text().splitlines()]
+    assert any("mcd" in r and np.isfinite(r["mcd"]) for r in rows), rows
+
+
 def test_native_dtw_matches_python():
     """The C DTW kernel (native/datakernels.c dtw_path_f64) returns the
     exact path of the pure-Python DP on random and adversarial (tie-heavy)

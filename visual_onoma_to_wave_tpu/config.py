@@ -158,6 +158,11 @@ class StepConfig:
     synth_step: int = 1000
     val_step: int = 1000
     save_step: int = 10000
+    # log objective quality metrics (teacher-forced mel L1 + MCD,
+    # free-running DTW MCD; metrics.py) with each periodic validation —
+    # beyond-reference: the reference's only quality signal is human TB
+    # listening (its evaluate.py:58-103)
+    val_metrics: bool = False
 
 
 @dataclass(frozen=True)

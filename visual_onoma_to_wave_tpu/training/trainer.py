@@ -198,7 +198,8 @@ class Trainer:
                 else:
                     self.timer.stop(int(np.sum(batch["mel_lens"])))
                 if step % cfg.step.val_step == 0:
-                    val_losses = self.evaluate(step)
+                    val_losses = self.evaluate(
+                        step, metrics=cfg.step.val_metrics)
                     self.val_log.scalars(step, val_losses)
                 if step % cfg.step.synth_step == 0:
                     self._synth_sample(step)
