@@ -210,3 +210,32 @@ def test_cli_convert_acoustic_roundtrip(tmp_path):
     got = load_params(out_dir)
     assert "params" in got and "batch_stats" in got
     assert "encoder" in got["params"] and "postnet" in got["params"]
+
+
+def test_read_batch_rows_formats_and_errors(tmp_path):
+    """synthesize-batch input parsing: both row formats, comments/blank
+    lines skipped, and clear errors for malformed rows."""
+    import pytest
+
+    from visual_onoma_to_wave_tpu.cli import _read_batch_rows
+
+    p = tmp_path / "rows.txt"
+    p.write_text(
+        "# comment\n"
+        "\n"
+        "clip_x|drum|24|font|パン\n"
+        "ドドド\tbell\t1.2\t0.8\n",
+        encoding="utf-8")
+    rows = _read_batch_rows(p)
+    assert rows[0] == {"name": "clip_x", "text": "パン",
+                       "audiotype": "drum", "d": 1.0, "e": 1.0}
+    assert rows[1]["text"] == "ドドド" and rows[1]["d"] == 1.2
+    assert rows[1]["e"] == 0.8
+
+    p.write_text("a|b|c\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="5 .-separated fields"):
+        _read_batch_rows(p)
+
+    p.write_text("textonly\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="TSV rows"):
+        _read_batch_rows(p)
