@@ -44,7 +44,37 @@ def _timed(fn, make_args, iters: int):
     return (time.perf_counter() - t0) / iters
 
 
+def _wait_for_device(max_tries: int = 10, sleep_s: float = 60.0) -> None:
+    """Ride out transient tunnel outages before touching jax in-process.
+
+    The tunneled TPU backend intermittently reports UNAVAILABLE (observed
+    outages of tens of minutes); a failed in-process init can stick in
+    jax's backend cache, so probe from a SUBPROCESS and only proceed once
+    a probe sees the device. After max_tries the real init runs anyway and
+    surfaces the actual error."""
+    import subprocess
+
+    for i in range(max_tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=180)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"device backend unavailable (probe {i + 1}/{max_tries}); "
+              f"retrying in {sleep_s:.0f}s", file=sys.stderr, flush=True)
+        time.sleep(sleep_s)
+
+
 def main():
+    # probe only for the fresh-process default-platform case (the driver's
+    # TPU run): skip when the caller already imported/configured jax (CPU
+    # smoke paths) or forced a platform via env
+    if "jax" not in sys.modules and "cpu" not in os.environ.get(
+            "JAX_PLATFORMS", "").lower():
+        _wait_for_device()
     import jax
     import jax.numpy as jnp
     from visual_onoma_to_wave_tpu.config import Config
