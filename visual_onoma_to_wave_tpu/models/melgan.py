@@ -29,7 +29,6 @@ import numpy as np
 
 from visual_onoma_to_wave_tpu.models.hifigan import (
     _conv_transpose1d,
-    _fold_weight_norm,
     _t_conv,
     _t_convtr,
 )

@@ -10,7 +10,6 @@ durations, vocode the postnet mel with HiFi-GAN.
 """
 from __future__ import annotations
 
-import functools
 import threading
 from dataclasses import dataclass
 from typing import Optional, Sequence

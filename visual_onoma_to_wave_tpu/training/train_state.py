@@ -9,7 +9,7 @@ the gradient all-reduce.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import flax.struct
 import jax

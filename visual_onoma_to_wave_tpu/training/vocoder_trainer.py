@@ -35,7 +35,7 @@ import functools
 import json
 import pathlib
 import time
-from typing import Any, Iterable, Sequence
+from typing import Any, Sequence
 
 import flax.struct
 import jax
