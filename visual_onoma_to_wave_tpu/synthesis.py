@@ -442,8 +442,10 @@ class Synthesizer:
         bsz = len(texts)
         if width_rates is None:
             width_rates = [None] * bsz
+        self._check_controls(e_control, d_control)
         for wr in width_rates:
-            self._check_controls(e_control, d_control, wr)
+            if wr is not None:
+                self._check_controls(1.0, 1.0, wr)
         b_pad, C = self.batch_signature(texts)
 
         ids = np.zeros((b_pad,), np.int32)
