@@ -97,3 +97,28 @@ def test_synthesize_errors(server):
     assert status == 400
     status, _ = _request(server, "GET", "/nope")
     assert status == 404
+
+
+def test_request_limits(server):
+    from visual_onoma_to_wave_tpu.demo_server import MAX_TEXT_LEN
+
+    # oversized body -> 413 without being read/parsed
+    conn = __import__("http.client", fromlist=["HTTPConnection"]
+                      ).HTTPConnection("127.0.0.1", server.port, timeout=120)
+    conn.putrequest("POST", "/api/synthesize")
+    conn.putheader("Content-Type", "application/json")
+    conn.putheader("Content-Length", str(16 << 20))
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 413
+    conn.close()
+
+    # over-long text -> 400 with the cap in the message
+    status, body = _request(server, "POST", "/api/synthesize",
+                            {"text": "ア" * (MAX_TEXT_LEN + 1),
+                             "audiotype": 0})
+    assert status == 400 and b"too long" in body
+    # non-string text -> 400, not a crash
+    status, _ = _request(server, "POST", "/api/synthesize",
+                         {"text": 123, "audiotype": 0})
+    assert status == 400

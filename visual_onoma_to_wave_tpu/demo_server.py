@@ -30,6 +30,9 @@ import numpy as np
 
 # Gojūon + voiced/semi-voiced + small kana + chōonpu: the keypad rows shown
 # by the reference demo (prediction.ipynb cell 4).
+MAX_BODY = 1 << 20       # 1 MB request cap (matches serve.py)
+MAX_TEXT_LEN = 48        # bounds render size + executable-length buckets
+
 KEYPAD_ROWS = [
     "アイウエオ",
     "カキクケコ",
@@ -230,6 +233,9 @@ class DemoServer:
                     return self._send(404, b"not found", "text/plain")
                 try:
                     n = int(self.headers.get("Content-Length", 0))
+                    if not 0 <= n <= MAX_BODY:
+                        return self._send(413, b"request too large",
+                                          "text/plain")
                     req = json.loads(self.rfile.read(n) or b"{}")
                     out = server.handle_synthesize(req)
                     self._send(200, json.dumps(out).encode())
@@ -243,8 +249,12 @@ class DemoServer:
     # ------------------------------------------------------------------
     def handle_synthesize(self, req: dict) -> dict:
         text = req.get("text", "")
-        if not text:
+        if not isinstance(text, str) or not text:
             raise ValueError("empty text")
+        if len(text) > MAX_TEXT_LEN:
+            # unbounded text would compile a fresh executable per unseen
+            # length bucket and blow up the render (same cap as serve.py)
+            raise ValueError(f"text too long (max {MAX_TEXT_LEN} chars)")
         rates = req.get("width_rates") or None
         if rates is not None and len(rates) != len(text):
             rates = None
