@@ -519,6 +519,12 @@ def test_circuit_breaker_fast_fails_while_device_stuck(server, monkeypatch):
         assert status == 503, out
         assert "unavailable" in out["error"]
         assert dt < 0.9, f"fast-fail took {dt:.2f}s (watchdog window is 1s)"
+
+        # the outage is visible in /v1/stats
+        status, s = _request(server, "GET", "/v1/stats")
+        assert status == 200
+        assert s["breaker_open"] is True
+        assert s["breaker_fast_fails"] >= 1
     finally:
         wedge.set()   # release the stalled thread
     # circuit closes once the stuck call returns: served normally again

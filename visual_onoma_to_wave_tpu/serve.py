@@ -154,7 +154,7 @@ class BatchingServer:
         self._submit_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
-                      "errors": 0, "timeouts": 0}
+                      "errors": 0, "timeouts": 0, "breaker_fast_fails": 0}
         # bounded: a long-running server must not accumulate one float per
         # request forever (the quantiles only ever read the last window)
         self._latencies: collections.deque = collections.deque(
@@ -304,6 +304,12 @@ class BatchingServer:
             s["latency_ms_p95"] = round(1e3 * lat[int(len(lat) * 0.95)], 2)
         s["mean_batch_size"] = round(
             s["batched_requests"] / s["batches"], 2) if s["batches"] else 0.0
+        # live breaker state: operators watching /v1/stats during an outage
+        # see WHY traffic is fast-503ing. Read-only on purpose —
+        # _circuit_open() prunes/reassigns the list and belongs to the
+        # worker thread alone (a concurrent prune could drop a
+        # just-appended stuck thread)
+        s["breaker_open"] = any(t.is_alive() for t in self._stuck_calls)
         return s
 
     def _validate(self, req) -> str | None:
@@ -560,6 +566,8 @@ class BatchingServer:
                 p.error = ("device unavailable (recovering from a stuck "
                            "dispatch)")
                 p.error_code = 503
+            with self._stats_lock:
+                self.stats["breaker_fast_fails"] += len(live)
             # record_stats=False: these groups never touched the device —
             # counting them as batches would report healthy-looking
             # mean_batch_size/batches during an outage
