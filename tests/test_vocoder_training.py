@@ -496,3 +496,70 @@ def test_default_trainer_modules_pick_up_compute_dtype():
     assert trainer.gen.dtype == jnp.bfloat16
     assert trainer.mpd.dtype == jnp.bfloat16
     assert trainer.msd.dtype == jnp.bfloat16
+
+
+def test_ema_tracks_generator_and_checkpoints(tmp_path):
+    """cfg.ema_decay > 0: gen_ema follows the exact EMA recursion over the
+    post-update params, saves as a loadable generator_ema artifact, and
+    survives a full-state resume bit-exactly."""
+    t = np.arange(6000) / 22050.0
+    clip = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    cfg = _tiny_cfg(learning_rate=5e-4, ema_decay=0.5)
+    trainer = VocoderTrainer(
+        [clip], cfg, gen=_tiny_gen(), use_mesh=False, ckpt_dir=tmp_path,
+        mpd=MultiPeriodDiscriminator(**TINY_MPD),
+        msd=MultiScaleDiscriminator(**TINY_MSD))
+
+    # manual recomputation of the recursion, seeded at the init point
+    ema = jax.device_get(trainer.state.gen_params)
+    state = trainer.state
+    for _ in range(3):
+        audio = jnp.asarray(trainer.sampler.next_batch())
+        state, _ = trainer.train_step(state, audio)
+        p = jax.device_get(state.gen_params)
+        ema = jax.tree.map(lambda e, q: 0.5 * e + 0.5 * q, ema, p)
+    got = jax.device_get(state.gen_ema)
+    for a, b in zip(jax.tree.leaves(ema), jax.tree.leaves(got)):
+        np.testing.assert_allclose(a, b, rtol=2e-6, atol=1e-7)
+    # the average genuinely differs from the raw iterate
+    assert any(np.abs(a - b).max() > 1e-8 for a, b in
+               zip(jax.tree.leaves(got),
+                   jax.tree.leaves(jax.device_get(state.gen_params))))
+
+    # generator_ema is a serving artifact: saved next to generator and
+    # loadable straight into vocoder_infer
+    trainer.state = state
+    trainer.save(3)
+    from visual_onoma_to_wave_tpu.utils.checkpoint import load_params
+    ema_params = load_params(tmp_path / "3" / "generator_ema")
+    wavs, _ = vocoder_infer(ema_params, jnp.zeros((1, 4, 80)),
+                            gen=_tiny_gen())
+    assert wavs.shape == (1, 4 * 256)
+
+    # exact resume of the EMA stream
+    t2 = VocoderTrainer(
+        [clip], cfg, gen=_tiny_gen(), use_mesh=False, ckpt_dir=tmp_path,
+        mpd=MultiPeriodDiscriminator(**TINY_MPD),
+        msd=MultiScaleDiscriminator(**TINY_MSD))
+    assert t2.restore(3) == 3
+    for a, b in zip(jax.tree.leaves(jax.device_get(t2.state.gen_ema)),
+                    jax.tree.leaves(got)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_ema_off_is_the_official_recipe(tmp_path):
+    """Default ema_decay=0.0 keeps gen_ema=None end to end and writes no
+    generator_ema artifact (checkpoint layout identical to before)."""
+    trainer = VocoderTrainer(
+        [np.zeros(4096, np.float32)], _tiny_cfg(), gen=_tiny_gen(),
+        use_mesh=False, ckpt_dir=tmp_path,
+        mpd=MultiPeriodDiscriminator(**TINY_MPD),
+        msd=MultiScaleDiscriminator(**TINY_MSD))
+    assert trainer.state.gen_ema is None
+    audio = jnp.asarray(trainer.sampler.next_batch())
+    state1, _ = trainer.train_step(trainer.state, audio)
+    assert state1.gen_ema is None
+    trainer.state = state1
+    trainer.save(1)
+    assert (tmp_path / "1" / "generator").exists()
+    assert not (tmp_path / "1" / "generator_ema").exists()

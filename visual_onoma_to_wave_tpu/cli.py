@@ -255,7 +255,8 @@ def cmd_train_vocoder(args):
         segment_size=args.segment_size, batch_size=args.batch_size,
         learning_rate=args.lr, total_steps=args.steps,
         save_every=args.save_every, seed=args.seed,
-        compute_dtype="bfloat16" if args.bf16 else "float32")
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        ema_decay=args.ema_decay)
     gen = None
     if args.family != "hifigan":
         import jax.numpy as jnp
@@ -437,6 +438,11 @@ def main(argv=None):
     s.add_argument("--bf16", action="store_true",
                    help="mixed-precision GAN step (bf16 conv compute, f32 "
                         "params/losses/DSP): ~1.25x faster on v5e")
+    s.add_argument("--ema-decay", type=float, default=0.0,
+                   help="exponential-moving-average the generator params "
+                        "(0 = off, official recipe; 0.999 for short runs, "
+                        "0.9999 for the 200k recipe); saves an extra "
+                        "generator_ema/ serving artifact per checkpoint")
     s.set_defaults(fn=cmd_train_vocoder)
 
     s = sub.add_parser("convert-acoustic",

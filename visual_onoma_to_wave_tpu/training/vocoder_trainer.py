@@ -80,6 +80,16 @@ class VocoderTrainConfig:
     # quality parity (benchmarks/bench_vocoder_train.py --bf16,
     # bench_vocoder_quality.py --bf16; docs/PERF.md).
     compute_dtype: str = "float32"
+    # Exponential moving average of the GENERATOR params (beyond the
+    # official recipe, which serves the raw last iterate): 0.0 = off
+    # (official behaviour); 0.999-0.9999 = on. The EMA tree updates inside
+    # the same donated jit step (one extra elementwise pass over the 14 M
+    # generator params, ~0 cost vs the 100+ ms GAN step) and is saved as
+    # <step>/generator_ema next to the raw generator — GANs' noisy
+    # adversarial updates make the averaged iterate the better serving
+    # artifact. Choose decay ~ 1 - 1/expected_steps x 10: 0.999 for
+    # few-thousand-step runs, 0.9999 for the full 200 k recipe.
+    ema_decay: float = 0.0
 
 
 @flax.struct.dataclass
@@ -90,6 +100,10 @@ class GANTrainState:
     msd_params: Any
     gen_opt: Any
     disc_opt: Any
+    # EMA of gen_params (None when cfg.ema_decay == 0 — an empty pytree
+    # node, so ema-off states remain checkpoint-compatible with states
+    # saved before this field existed)
+    gen_ema: Any = None
 
 
 class SegmentSampler:
@@ -299,10 +313,17 @@ def make_gan_train_step(gen: HiFiGANGenerator,
             g_grads, state.gen_opt, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, g_updates)
 
+        if cfg.ema_decay > 0.0:
+            d = cfg.ema_decay
+            gen_ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                                   state.gen_ema, gen_params)
+        else:
+            gen_ema = state.gen_ema
+
         new_state = GANTrainState(
             step=state.step + 1, gen_params=gen_params,
             mpd_params=mpd_params, msd_params=msd_params,
-            gen_opt=gen_opt, disc_opt=disc_opt)
+            gen_opt=gen_opt, disc_opt=disc_opt, gen_ema=gen_ema)
         metrics = {"d_total": d_total, **d_aux, **g_aux}
         return new_state, metrics
 
@@ -374,7 +395,13 @@ class VocoderTrainer:
             gen_params=gen_params,
             mpd_params=mpd_params, msd_params=msd_params,
             gen_opt=self.gen_tx.init(gen_params),
-            disc_opt=self.disc_tx.init((mpd_params, msd_params)))
+            disc_opt=self.disc_tx.init((mpd_params, msd_params)),
+            # EMA seeded at the init point (standard GAN-EMA practice; the
+            # first averaged iterates are dominated by recent steps anyway).
+            # Must be a COPY: the step donates the state, and aliased
+            # gen_params/gen_ema leaves would donate one buffer twice.
+            gen_ema=(jax.tree.map(jnp.copy, gen_params)
+                     if c.ema_decay > 0.0 else None))
         self.train_step = make_gan_train_step(
             self.gen, self.mpd, self.msd, self.gen_tx, self.disc_tx, c)
 
@@ -396,11 +423,15 @@ class VocoderTrainer:
         return x
 
     def save(self, step: int) -> None:
-        """Write <ckpt>/<step>/{generator, full_state}.
+        """Write <ckpt>/<step>/{generator[, generator_ema], full_state}.
 
         `generator` is the serving artifact (loads via Synthesizer /
-        vocoder_infer / cli --vocoder); `full_state` carries both
-        optimizers and the discriminators for exact resume.
+        vocoder_infer / cli --vocoder); with cfg.ema_decay > 0,
+        `generator_ema` is the averaged-iterate artifact in the same
+        format (usually the better one to serve). `full_state` carries
+        both optimizers, the discriminators and the EMA tree for exact
+        resume — resume with the same ema_decay on/off setting the run
+        was saved with.
         """
         if self.ckpt_dir is None:
             return
@@ -408,6 +439,8 @@ class VocoderTrainer:
         d = self.ckpt_dir / f"{step}"
         # save_params pulls arrays to host itself (portable checkpoints)
         save_params(d / "generator", self.state.gen_params)
+        if self.state.gen_ema is not None:
+            save_params(d / "generator_ema", self.state.gen_ema)
         save_params(d / "full_state", self.state)
         # the host-side sampler RNG is part of the training state: without
         # it a resumed run would REPLAY the segment stream from the seed
