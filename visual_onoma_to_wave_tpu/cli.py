@@ -68,6 +68,12 @@ def cmd_preprocess(args):
 
 
 def cmd_train(args):
+    if getattr(args, "distributed", False):
+        from visual_onoma_to_wave_tpu.parallel import init_distributed
+        init_distributed(coordinator_address=args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id,
+                         cpu_devices_per_process=args.distributed_cpu_devices)
     from visual_onoma_to_wave_tpu.training.trainer import Trainer
     cfg = load_config(args.config)
     vocoder_params = None
@@ -331,6 +337,19 @@ def main(argv=None):
                    help="batch-loader worker processes (default: min(10, "
                         "cpus); <=1 or small hosts load serially behind a "
                         "prefetch thread — reference num_workers=10)")
+    s.add_argument("--distributed", action="store_true",
+                   help="join a multi-host run (jax.distributed): on TPU "
+                        "pods the topology auto-detects; pair with "
+                        "--coordinator/--num-processes/--process-id "
+                        "elsewhere. Every host runs this same command; the "
+                        "ckpt/log paths must be shared storage")
+    s.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (omit on TPU pods)")
+    s.add_argument("--num-processes", type=int, default=None)
+    s.add_argument("--process-id", type=int, default=None)
+    s.add_argument("--distributed-cpu-devices", type=int, default=None,
+                   help="hermetic dry-run of the multi-host layout on CPU: "
+                        "N virtual devices per process, gloo collectives")
     s.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("evaluate", help="validation losses (evaluate.py)")

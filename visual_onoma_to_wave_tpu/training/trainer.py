@@ -23,7 +23,15 @@ import numpy as np
 from visual_onoma_to_wave_tpu.config import Config, DatasetMetadata
 from visual_onoma_to_wave_tpu.data.dataset import OnomaDataset
 from visual_onoma_to_wave_tpu.models import VTTS
-from visual_onoma_to_wave_tpu.parallel import get_mesh, shard_batch
+from visual_onoma_to_wave_tpu.parallel import (
+    barrier,
+    get_mesh,
+    host_tree,
+    is_primary,
+    replicate,
+    shard_batch,
+    shard_batch_multiprocess,
+)
 from visual_onoma_to_wave_tpu.training.schedule import make_optimizer
 from visual_onoma_to_wave_tpu.training.train_state import (
     TrainState,
@@ -75,9 +83,28 @@ class Trainer:
             self.model, self.tx, jax.random.PRNGKey(config.train.seed),
             sample, self.use_image)
 
+        # multi-host: jax.devices() is the GLOBAL device set after
+        # parallel.init_distributed, so the same 1-D data mesh spans every
+        # process (reference ceiling: single-process DataParallel,
+        # 04_train.py:75)
+        self.n_proc = jax.process_count()
+        if self.n_proc > 1 and not use_mesh:
+            raise ValueError(
+                "multi-process training requires the data mesh "
+                "(use_mesh=True)")
+        if self.n_proc > 1 and config.train.data_parallel_devices:
+            raise ValueError(
+                "train.data_parallel_devices must be 0 (= all devices) "
+                "under multi-process training: every process's chips "
+                "belong to the global mesh")
         self.mesh = get_mesh(config.train.data_parallel_devices) if use_mesh else None
         if self.mesh is not None and self.mesh.size > 1:
             bs = config.train.optimizer.batch_size
+            if self.n_proc > 1 and bs % self.mesh.size != 0:
+                raise ValueError(
+                    f"train.optimizer.batch_size={bs} must be a multiple of "
+                    f"the global device count {self.mesh.size} "
+                    f"({self.n_proc} processes) for multi-process training")
             if bs % self.mesh.size != 0:
                 # a mis-sized config must not silently train single-device:
                 # shrink the mesh to the largest device count dividing the
@@ -94,20 +121,38 @@ class Trainer:
                 self.mesh = get_mesh(n) if n > 1 else None
         self.ckpt = CheckpointManager(config.path.ckpt)
         # stamp the vocabulary next to the checkpoints: a checkpoint dir is
-        # then self-describing for serving (Synthesizer.from_checkpoint)
+        # then self-describing for serving (Synthesizer.from_checkpoint).
+        # Primary-only under multi-host: the ckpt dir is shared storage.
         from visual_onoma_to_wave_tpu.data.symbols import save_symbol_map
-        save_symbol_map(self.ckpt.dir, self.train_ds.symbol_map)
+        if is_primary():
+            save_symbol_map(self.ckpt.dir, self.train_ds.symbol_map)
         if restore_step == -1:  # -1 = latest available (extension over reference)
             restore_step = self.ckpt.latest_step()
         if restore_step is not None:
-            self.state = self.ckpt.restore(self.state, restore_step)
-        self.train_log = MetricsLogger(config.path.log, "train")
-        self.val_log = MetricsLogger(config.path.log, "val")
+            # multi-process: restore onto a host-numpy template (every
+            # process reads the shared ckpt), then replicate below
+            template = (jax.device_get(self.state) if self.n_proc > 1
+                        else self.state)
+            self.state = self.ckpt.restore(template, restore_step)
+        if self.n_proc > 1:
+            # identical per-process inits/restores -> one global replicated
+            # train state over the full mesh
+            self.state = replicate(jax.device_get(self.state), self.mesh)
+        if is_primary():
+            self.train_log = MetricsLogger(config.path.log, "train")
+            self.val_log = MetricsLogger(config.path.log, "val")
+        else:
+            from visual_onoma_to_wave_tpu.utils.logging import NullLogger
+            self.train_log = NullLogger()
+            self.val_log = NullLogger()
         self.result_dir = pathlib.Path(config.path.result)
         (self.result_dir / "Val").mkdir(parents=True, exist_ok=True)
         self.vocoder_params = vocoder_params
         self.timer = StepTimer()
         self._rng = jax.random.PRNGKey(config.train.seed + 1)
+        if self.n_proc > 1:
+            # jit inputs must all be global arrays in multi-process mode
+            self._rng = replicate(np.asarray(self._rng), self.mesh)
         # jax.profiler trace over a step window (observability the reference
         # lacks, SURVEY.md §5): view with tensorboard/xprof or Perfetto.
         self.profile_dir = profile_dir
@@ -125,6 +170,18 @@ class Trainer:
         if self.mesh is None or self.mesh.size <= 1:
             return batch
         bs = batch["texts"].shape[0]
+        if self.n_proc > 1:
+            if bs % self.mesh.size == 0:
+                # each process feeds only its own row slice to its chips
+                return shard_batch_multiprocess(batch, self.mesh)
+            if strict:
+                raise ValueError(
+                    f"training batch size {bs} is not divisible by the "
+                    f"global device count {self.mesh.size}")
+            # ragged eval tail: replicate — every device computes the small
+            # batch redundantly (a few rows), values exactly as if it ran
+            # on one device; cheaper and simpler than re-sharding
+            return replicate(batch, self.mesh)
         if bs % self.mesh.size == 0:
             return shard_batch(batch, self.mesh)
         if strict:
@@ -159,6 +216,7 @@ class Trainer:
             print(f"training: already at step {step} >= {total}, nothing "
                   f"to do")
             self.ckpt.save(self.state)
+            barrier("final_ckpt")
             return self.state
         from visual_onoma_to_wave_tpu.data.loader import ProcessLoader
         loader = ProcessLoader(self.train_ds, "train.txt",
@@ -174,6 +232,8 @@ class Trainer:
             loader.close()
         self._stop_profile()
         self.ckpt.save(self.state)
+        # keep fast processes alive until the shared-dir write completes
+        barrier("final_ckpt")
         return self.state
 
     def _train_loop(self, loader, total, step, epoch, cfg, on_step) -> None:
@@ -253,10 +313,19 @@ class Trainer:
                             ("audiotypes", "texts", "src_lens", "image_cells")
                             if k in jb}
                 fr = self.synth_step(self.state, infer_in)
+                tf_mel, fr_mel, fr_lens = (
+                    outputs["postnet_mel"], fr["postnet_mel"], fr["mel_lens"])
+                if self.n_proc > 1 and bs % self.mesh.size == 0:
+                    # batch-sharded outputs are not fully addressable on any
+                    # one host: all-gather them (collective — every process
+                    # runs this metrics pass). Replicated ragged tails are
+                    # already host-readable.
+                    tf_mel, fr_mel, fr_lens = host_tree(
+                        (tf_mel, fr_mel, fr_lens))
                 q = batch_quality_metrics(
-                    np.asarray(outputs["postnet_mel"]),
-                    np.asarray(fr["postnet_mel"]),
-                    np.asarray(fr["mel_lens"]),
+                    np.asarray(tf_mel),
+                    np.asarray(fr_mel),
+                    np.asarray(fr_lens),
                     np.asarray(batch["mels"]),
                     np.asarray(batch["mel_lens"]))
                 for k, v in q.items():
@@ -282,7 +351,14 @@ class Trainer:
                     ("audiotypes", "texts", "src_lens") if k in jb}
         if "image_cells" in jb:
             infer_in["image_cells"] = jb["image_cells"]
+        if self.n_proc > 1:
+            # one sample: replicate it — every process must join the global
+            # program (outputs land replicated, so the primary can read
+            # them), but only the primary writes figures/audio below
+            infer_in = replicate(infer_in, self.mesh)
         out = self.synth_step(self.state, infer_in)
+        if not is_primary():
+            return
         mel_pred = np.asarray(out["postnet_mel"][0])
         mel_len = int(out["mel_lens"][0])
         gt_len = int(batch["mel_lens"][0])

@@ -59,6 +59,27 @@ class MetricsLogger:
             self._tb.close()
 
 
+class NullLogger:
+    """MetricsLogger-shaped no-op: non-primary processes of a multi-host
+    run log nothing (the primary owns log/ckpt side effects —
+    parallel/distributed.py is_primary)."""
+
+    def scalars(self, step, values, prefix="Loss") -> None:
+        pass
+
+    def text(self, message) -> None:
+        pass
+
+    def audio(self, step, tag, wav, sample_rate=22050) -> None:
+        pass
+
+    def figure(self, step, tag, fig) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 class StepTimer:
     """Rolling step-time / throughput tracker (frames/sec per chip)."""
 
