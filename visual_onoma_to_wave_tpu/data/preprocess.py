@@ -218,13 +218,9 @@ class Preprocessor:
         if self._device_fn is None:
             # persistent compile cache: repeated preprocessing runs (and the
             # handful of length buckets) skip recompiles entirely
-            if jax.config.jax_compilation_cache_dir is None:
-                import tempfile
-                jax.config.update(
-                    "jax_compilation_cache_dir",
-                    os.path.join(tempfile.gettempdir(), "vow_jax_cache"))
-                jax.config.update(
-                    "jax_persistent_cache_min_compile_time_secs", 0.5)
+            from visual_onoma_to_wave_tpu.utils.compile_cache import (
+                enable_persistent_cache)
+            enable_persistent_cache()
             # uncommitted host arrays: they follow jax.default_device, so the
             # same code serves both the accelerator and the CPU-fallback path
             self._window = np.asarray(hann_window(self.win))

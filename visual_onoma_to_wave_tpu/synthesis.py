@@ -85,6 +85,11 @@ class Synthesizer:
         self.metadata = metadata
         self.symbol_map = symbol_map
         self.vocoder = vocoder
+        # a restarted server re-compiles only what the persistent cache has
+        # never seen (the bucketed shapes are a small fixed family)
+        from visual_onoma_to_wave_tpu.utils.compile_cache import (
+            enable_persistent_cache)
+        enable_persistent_cache()
         self.mesh = mesh if (mesh is not None
                              and getattr(mesh, "size", 1) > 1) else None
         if self.mesh is not None:

@@ -59,6 +59,9 @@ class Trainer:
                  loader_workers: Optional[int] = None):
         self.config = config
         self.loader_workers = loader_workers
+        from visual_onoma_to_wave_tpu.utils.compile_cache import (
+            enable_persistent_cache)
+        enable_persistent_cache()
         self.metadata = DatasetMetadata.load(config.path.preprocessed)
         self.train_ds = OnomaDataset("train.txt", config, sort=True,
                                      drop_last=True, metadata=self.metadata)

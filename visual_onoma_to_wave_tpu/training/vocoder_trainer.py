@@ -349,6 +349,9 @@ class VocoderTrainer:
                  msd: MultiScaleDiscriminator | None = None,
                  pairs=None):
         self.cfg = cfg or VocoderTrainConfig()
+        from visual_onoma_to_wave_tpu.utils.compile_cache import (
+            enable_persistent_cache)
+        enable_persistent_cache()
         dtype = jnp.dtype(self.cfg.compute_dtype)
         self.gen = gen if gen is not None else HiFiGANGenerator(dtype=dtype)
         self.mpd = mpd or MultiPeriodDiscriminator(dtype=dtype)
