@@ -136,6 +136,44 @@ def run_trainer_mode(pre_root, out_root, out_file):
     pathlib.Path(out_file).write_text(json.dumps(result))
 
 
+def vocoder_problem(ckpt_dir=None, use_mesh=True):
+    """Tiny GAN vocoder trainer, shared by the workers and the parent's
+    single-process reference run (same seeds -> same sampler stream)."""
+    import numpy as np
+
+    from test_vocoder_training import TINY_MPD, TINY_MSD, _tiny_gen
+    from visual_onoma_to_wave_tpu.models.hifigan_disc import (
+        MultiPeriodDiscriminator, MultiScaleDiscriminator)
+    from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
+        VocoderTrainConfig, VocoderTrainer)
+
+    cfg = VocoderTrainConfig(segment_size=2048, batch_size=8,
+                             learning_rate=5e-4, log_every=1000,
+                             save_every=10**9, ema_decay=0.5)
+    t = np.arange(6000) / 22050.0
+    clip = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    return VocoderTrainer(
+        [clip], cfg, gen=_tiny_gen(), use_mesh=use_mesh, ckpt_dir=ckpt_dir,
+        mpd=MultiPeriodDiscriminator(**TINY_MPD),
+        msd=MultiScaleDiscriminator(**TINY_MSD))
+
+
+def run_vocoder_mode(ckpt_dir, out_file):
+    import jax
+
+    trainer = vocoder_problem(ckpt_dir=ckpt_dir)
+    state = trainer.train(steps=2)  # saves at the target step
+    result = {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "global_devices": jax.device_count(),
+        "digest": params_digest(state.gen_params),
+        "ema_digest": params_digest(state.gen_ema),
+        "disc_digest": params_digest((state.mpd_params, state.msd_params)),
+    }
+    pathlib.Path(out_file).write_text(json.dumps(result))
+
+
 def main(argv):
     mode = argv[0]
     pid, nproc, port, devs = (int(argv[1]), int(argv[2]), argv[3],
@@ -150,6 +188,8 @@ def main(argv):
         run_step_mode(argv[5])
     elif mode == "trainer":
         run_trainer_mode(argv[5], argv[6], argv[7])
+    elif mode == "vocoder":
+        run_vocoder_mode(argv[5], argv[6])
     else:
         raise SystemExit(f"unknown mode {mode}")
 

@@ -123,3 +123,33 @@ def test_multiprocess_trainer_end_to_end(tmp_path):
                                results[0]["digest"], rtol=1e-6)
     trainer.ckpt.close()
     t2.ckpt.close()
+
+
+def test_multiprocess_vocoder_gan_training(tmp_path):
+    """The GAN vocoder trainer over 2 processes x 4 devices (incl. EMA and
+    primary-only shared-dir checkpointing) matches the single-process
+    8-device mesh run, and the checkpoint restores cross-topology."""
+    shared_ckpt = tmp_path / "voc_ckpt"
+    results = _spawn_cluster(
+        "vocoder", lambda pid, out: [shared_ckpt, out], tmp_path)
+    assert results[0]["digest"] == results[1]["digest"]
+    assert (shared_ckpt / "2" / "generator").exists()
+    assert (shared_ckpt / "2" / "generator_ema").exists()
+
+    from distributed_worker import params_digest, vocoder_problem
+
+    trainer = vocoder_problem()  # single-process, 8-device mesh
+    state = trainer.train(steps=2)
+    np.testing.assert_allclose(results[0]["digest"],
+                               params_digest(state.gen_params), rtol=1e-5)
+    np.testing.assert_allclose(results[0]["ema_digest"],
+                               params_digest(state.gen_ema), rtol=1e-5)
+    np.testing.assert_allclose(
+        results[0]["disc_digest"],
+        params_digest((state.mpd_params, state.msd_params)), rtol=1e-5)
+
+    # the multi-host checkpoint restores into a fresh single-process trainer
+    t2 = vocoder_problem(ckpt_dir=shared_ckpt)
+    assert t2.restore(2) == 2
+    np.testing.assert_allclose(params_digest(t2.state.gen_params),
+                               results[0]["digest"], rtol=1e-6)

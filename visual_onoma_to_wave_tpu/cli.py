@@ -254,6 +254,12 @@ def cmd_serve(args):
 
 
 def cmd_train_vocoder(args):
+    if getattr(args, "distributed", False):
+        from visual_onoma_to_wave_tpu.parallel import init_distributed
+        init_distributed(coordinator_address=args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id,
+                         cpu_devices_per_process=args.distributed_cpu_devices)
     from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
         VocoderTrainConfig, VocoderTrainer, load_wav_dir)
 
@@ -462,6 +468,13 @@ def main(argv=None):
                         "(0 = off, official recipe; 0.999 for short runs, "
                         "0.9999 for the 200k recipe); saves an extra "
                         "generator_ema/ serving artifact per checkpoint")
+    s.add_argument("--distributed", action="store_true",
+                   help="join a multi-host run (same semantics as cli "
+                        "train --distributed)")
+    s.add_argument("--coordinator", default=None)
+    s.add_argument("--num-processes", type=int, default=None)
+    s.add_argument("--process-id", type=int, default=None)
+    s.add_argument("--distributed-cpu-devices", type=int, default=None)
     s.set_defaults(fn=cmd_train_vocoder)
 
     s = sub.add_parser("convert-acoustic",

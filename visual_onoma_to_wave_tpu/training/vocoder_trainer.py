@@ -363,8 +363,12 @@ class VocoderTrainer:
         self.ckpt_dir = pathlib.Path(ckpt_dir) if ckpt_dir else None
         self.log = None
         if log_dir is not None:
-            from visual_onoma_to_wave_tpu.utils.logging import MetricsLogger
-            self.log = MetricsLogger(log_dir, name="vocoder")
+            # primary-only under multi-host (the log dir is shared storage)
+            from visual_onoma_to_wave_tpu.parallel import is_primary
+            if is_primary():
+                from visual_onoma_to_wave_tpu.utils.logging import (
+                    MetricsLogger)
+                self.log = MetricsLogger(log_dir, name="vocoder")
 
         c = self.cfg
         sched = optax.exponential_decay(
@@ -409,7 +413,25 @@ class VocoderTrainer:
             self.gen, self.mpd, self.msd, self.gen_tx, self.disc_tx, c)
 
         self.mesh = None
-        if use_mesh and jax.device_count() > 1:
+        self.n_proc = jax.process_count()
+        if self.n_proc > 1:
+            # multi-host GAN training: same global-mesh layout as the
+            # acoustic Trainer (parallel/distributed.py) — every process's
+            # chips join one data mesh, the seeded sampler makes all hosts
+            # agree on the batch, each host feeds its own row slice
+            if not use_mesh:
+                raise ValueError(
+                    "multi-process vocoder training requires use_mesh=True")
+            if c.batch_size % jax.device_count():
+                raise ValueError(
+                    f"batch_size {c.batch_size} must divide by the global "
+                    f"device count {jax.device_count()} "
+                    f"({self.n_proc} processes)")
+            from visual_onoma_to_wave_tpu.parallel import replicate
+            from visual_onoma_to_wave_tpu.parallel.mesh import get_mesh
+            self.mesh = get_mesh()
+            self.state = replicate(jax.device_get(self.state), self.mesh)
+        elif use_mesh and jax.device_count() > 1:
             from visual_onoma_to_wave_tpu.parallel.mesh import (
                 batch_sharding, get_mesh)
             if c.batch_size % jax.device_count() == 0:
@@ -420,6 +442,10 @@ class VocoderTrainer:
                       f"{jax.device_count()} devices; training single-device")
 
     def _place(self, audio: np.ndarray) -> jnp.ndarray:
+        if self.mesh is not None and self.n_proc > 1:
+            from visual_onoma_to_wave_tpu.parallel import (
+                shard_batch_multiprocess)
+            return shard_batch_multiprocess(np.asarray(audio), self.mesh)
         x = jnp.asarray(audio)
         if self.mesh is not None:
             x = jax.device_put(x, self._sharding)
@@ -438,17 +464,21 @@ class VocoderTrainer:
         """
         if self.ckpt_dir is None:
             return
+        from visual_onoma_to_wave_tpu.parallel import is_primary
         from visual_onoma_to_wave_tpu.utils.checkpoint import save_params
         d = self.ckpt_dir / f"{step}"
-        # save_params pulls arrays to host itself (portable checkpoints)
+        # Orbax saves are collective under multi-host: EVERY process calls
+        # them (orbax elects the writer and syncs internally); save_params
+        # pulls arrays to host first, so checkpoints stay portable
         save_params(d / "generator", self.state.gen_params)
         if self.state.gen_ema is not None:
             save_params(d / "generator_ema", self.state.gen_ema)
         save_params(d / "full_state", self.state)
-        # the host-side sampler RNG is part of the training state: without
-        # it a resumed run would REPLAY the segment stream from the seed
-        (d / "sampler_state.json").write_text(
-            json.dumps(self.sampler.rng.bit_generator.state))
+        if is_primary():
+            # the host-side sampler RNG is part of the training state:
+            # without it a resumed run would REPLAY the segment stream
+            (d / "sampler_state.json").write_text(
+                json.dumps(self.sampler.rng.bit_generator.state))
 
     def restore(self, step: int | None = None) -> int:
         """Resume from <ckpt>/<step>/full_state (latest step if None).
@@ -469,6 +499,11 @@ class VocoderTrainer:
             step = steps[-1]
         self.state = load_params(self.ckpt_dir / f"{step}" / "full_state",
                                  template=jax.device_get(self.state))
+        if self.n_proc > 1:
+            # every process restored the same host tree from the shared
+            # dir; put it back as one global replicated state
+            from visual_onoma_to_wave_tpu.parallel import replicate
+            self.state = replicate(self.state, self.mesh)
         sampler_state = self.ckpt_dir / f"{step}" / "sampler_state.json"
         if sampler_state.exists():
             self.sampler.rng.bit_generator.state = json.loads(
