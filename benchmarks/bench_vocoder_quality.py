@@ -83,6 +83,9 @@ def main() -> int:
     if "--families" in sys.argv:
         families = sys.argv[sys.argv.index("--families") + 1].split(",")
     dtype = "bfloat16" if "--bf16" in sys.argv else "float32"
+    ema_decay = 0.0
+    if "--ema" in sys.argv:  # also scores the EMA iterate per family
+        ema_decay = float(sys.argv[sys.argv.index("--ema") + 1])
 
     rng = np.random.default_rng(0)
     clips = [_clip(rng) for _ in range(24)]
@@ -90,7 +93,7 @@ def main() -> int:
 
     cfg = VocoderTrainConfig(total_steps=steps, batch_size=batch,
                              save_every=10 ** 9, log_every=max(steps // 4, 1),
-                             compute_dtype=dtype)
+                             compute_dtype=dtype, ema_decay=ema_decay)
     window = jnp.asarray(hann_window(cfg.win_length))
     fb = jnp.asarray(melscale_fbanks(cfg.n_fft // 2 + 1, cfg.f_min,
                                      cfg.f_max, cfg.n_mels,
@@ -125,25 +128,33 @@ def main() -> int:
         def vocode(params, mel_bt, gen=vt.gen):
             return gen.apply(params, mel_bt)            # (B, T*hop)
 
-        l1s, mcds = [], []
-        for audio, mel in gt:
-            wav = np.asarray(jax.device_get(
-                vocode(vt.state.gen_params,
-                       jnp.asarray(mel.T)[None])))[0][: len(audio)]
-            mel2 = np.asarray(jax.device_get(
-                logmel(jnp.asarray(np.clip(wav, -1.0, 1.0))[None])))[0]
-            t = min(mel.shape[1], mel2.shape[1])
-            l1s.append(mel_l1(mel2[:, :t].T, mel[:, :t].T))
-            mcds.append(mcd_frames(mel2[:, :t].T, mel[:, :t].T))
-        print(json.dumps({
-            "metric": "vocoder_copy_synthesis_quality",
-            "family": family, "steps": steps, "batch": batch,
-            "dtype": dtype,
-            "train_s": round(train_s, 1),
-            "held_out_clips": len(gt),
-            "mel_l1": round(float(np.mean(l1s)), 4),
-            "mcd_db": round(float(np.mean(mcds)), 2),
-        }), flush=True)
+        def score(params):
+            l1s, mcds = [], []
+            for audio, mel in gt:
+                wav = np.asarray(jax.device_get(
+                    vocode(params, jnp.asarray(mel.T)[None])))[0][: len(audio)]
+                mel2 = np.asarray(jax.device_get(
+                    logmel(jnp.asarray(np.clip(wav, -1.0, 1.0))[None])))[0]
+                t = min(mel.shape[1], mel2.shape[1])
+                l1s.append(mel_l1(mel2[:, :t].T, mel[:, :t].T))
+                mcds.append(mcd_frames(mel2[:, :t].T, mel[:, :t].T))
+            return float(np.mean(l1s)), float(np.mean(mcds))
+
+        variants = [("raw", vt.state.gen_params)]
+        if vt.state.gen_ema is not None:
+            variants.append(("ema", vt.state.gen_ema))
+        for tag, params in variants:
+            l1, mcd = score(params)
+            print(json.dumps({
+                "metric": "vocoder_copy_synthesis_quality",
+                "family": family, "steps": steps, "batch": batch,
+                "dtype": dtype, "iterate": tag,
+                **({"ema_decay": ema_decay} if tag == "ema" else {}),
+                "train_s": round(train_s, 1),
+                "held_out_clips": len(gt),
+                "mel_l1": round(l1, 4),
+                "mcd_db": round(mcd, 2),
+            }), flush=True)
     return 0
 
 
