@@ -73,9 +73,12 @@ def tiny_trainer_config(pre_root, out_root, batch_size=8, total_step=3):
         train=cfg.train.__class__(
             optimizer=cfg.train.optimizer.__class__(batch_size=batch_size,
                                                     warm_up_step=10),
+            # synth_step/save_step hit mid-run so the multi-process test
+            # exercises the periodic sample-synthesis and collective-save
+            # paths, not just the step loop
             step=cfg.train.step.__class__(
-                total_step=total_step, log_step=1, synth_step=10**9,
-                val_step=10**9, save_step=10**9),
+                total_step=total_step, log_step=1, synth_step=2,
+                val_step=10**9, save_step=2),
             max_mel_len=256, seed=0))
 
 

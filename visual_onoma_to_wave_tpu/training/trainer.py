@@ -360,6 +360,12 @@ class Trainer:
             # them), but only the primary writes figures/audio below
             infer_in = replicate(infer_in, self.mesh)
         out = self.synth_step(self.state, infer_in)
+        if self.n_proc > 1:
+            # fetch the (replicated) outputs to host BEFORE the primary
+            # gate: everything below must be plain numpy, because eager
+            # ops on global arrays issued by a single process would try to
+            # drive devices this process doesn't own
+            out = jax.device_get(out)
         if not is_primary():
             return
         mel_pred = np.asarray(out["postnet_mel"][0])
