@@ -26,26 +26,40 @@ def _free_port():
         return s.getsockname()[1]
 
 
+# cluster-bringup failures that are load/timing artifacts of an
+# oversubscribed CI host (gloo's context init has a hard 30 s key-value
+# deadline), not product bugs — retried once on a fresh port
+_INFRA_ERRORS = ("Gloo context initialization failed", "DEADLINE_EXCEEDED",
+                 "BarrierError", "Coordination service")
+
+
 def _spawn_cluster(mode, extra_args, tmp_path, n_proc=2, devs=4,
-                   timeout=900):
+                   timeout=900, retries=1):
     """Launch the worker in n_proc processes; return their JSON results."""
-    port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = str(REPO)
-    procs, outs = [], []
-    for pid in range(n_proc):
-        out = tmp_path / f"result_{pid}.json"
-        outs.append(out)
-        args = [sys.executable, str(WORKER), mode, str(pid), str(n_proc),
-                str(port), str(devs)] + [str(a) for a in extra_args(pid, out)]
-        procs.append(subprocess.Popen(
-            args, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True))
-    logs = [p.communicate(timeout=timeout)[0] for p in procs]
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
-    return [json.loads(o.read_text()) for o in outs]
+    for attempt in range(retries + 1):
+        port = _free_port()
+        procs, outs = [], []
+        for pid in range(n_proc):
+            out = tmp_path / f"result_{pid}.json"
+            out.unlink(missing_ok=True)
+            outs.append(out)
+            args = [sys.executable, str(WORKER), mode, str(pid), str(n_proc),
+                    str(port), str(devs)] + [str(a)
+                                             for a in extra_args(pid, out)]
+            procs.append(subprocess.Popen(
+                args, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True))
+        logs = [p.communicate(timeout=timeout)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            return [json.loads(o.read_text()) for o in outs]
+        infra = any(e in log for log in logs for e in _INFRA_ERRORS)
+        if not (infra and attempt < retries):
+            for p, log in zip(procs, logs):
+                assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    raise AssertionError("unreachable")
 
 
 def test_multiprocess_step_equals_single_process(tmp_path):
