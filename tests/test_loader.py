@@ -109,3 +109,53 @@ def test_process_loader_worker_error_propagates(train_ds, monkeypatch):
                             lambda *a, **k: plan)
         with pytest.raises(Exception):
             list(loader.epoch(group_size=4, seed=1))
+
+
+def test_partitioned_local_slices_match_full_batches(train_ds):
+    """plan_pad_shapes must reproduce collate's derived shapes exactly, and
+    a per-process local slice collated against those shapes must equal the
+    corresponding rows of the full batch byte-for-byte — the invariant the
+    multi-host partitioned loader rests on (data/loader.py local_slice)."""
+    ds = train_ds
+    plan = ds.batch_plan(group_size=2, seed=3, shuffle=True)
+    shapes = ds.plan_pad_shapes(plan)
+    assert plan and len(shapes) == len(plan)
+    n = 2
+    for chunk, pad in zip(plan, shapes):
+        full = ds.load_batch(chunk)
+        assert full["texts"].shape[1] == pad[0]
+        assert full["mels"].shape[1] == pad[1]
+        rows = len(chunk) // n
+        assert rows * n == len(chunk)
+        for p in range(n):
+            local = ds.load_batch(chunk[p * rows:(p + 1) * rows], pad_to=pad)
+            for k, v in local.items():
+                sl = slice(p * rows, (p + 1) * rows)
+                if k == "names":
+                    assert v == full[k][sl]
+                else:
+                    np.testing.assert_array_equal(v, full[k][sl], err_msg=k)
+
+
+def test_loader_local_slice_stream(train_ds):
+    """ProcessLoader.epoch(local_slice=(p, n)) yields exactly each planned
+    batch's p-th row slice, in plan order."""
+    from visual_onoma_to_wave_tpu.data.loader import ProcessLoader
+
+    ds = train_ds
+    plan = ds.batch_plan(group_size=2, seed=5, shuffle=True)
+    shapes = ds.plan_pad_shapes(plan)
+    loader = ProcessLoader(ds, "train.txt", num_workers=1)
+    try:
+        got = list(loader.epoch(group_size=2, seed=5, local_slice=(1, 2)))
+    finally:
+        loader.close()
+    assert len(got) == len(plan)
+    for batch, chunk, pad in zip(got, plan, shapes):
+        rows = len(chunk) // 2
+        want = ds.load_batch(chunk[rows:], pad_to=pad)
+        for k, v in want.items():
+            if k == "names":
+                assert batch[k] == v
+            else:
+                np.testing.assert_array_equal(batch[k], v, err_msg=k)

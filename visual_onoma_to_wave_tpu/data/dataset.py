@@ -126,13 +126,25 @@ class OnomaDataset:
         )
 
     # ------------------------------------------------------------------
-    def collate(self, samples: list[Sample]) -> dict:
-        """Pad a list of samples into one static-shaped batch dict."""
+    def collate(self, samples: list[Sample],
+                pad_to: tuple[int, int] | None = None) -> dict:
+        """Pad a list of samples into one static-shaped batch dict.
+
+        pad_to=(max_c, max_t) forces the pad targets instead of deriving
+        them from the loaded samples — this is what lets a multi-host run
+        collate only its local row slice of a batch while agreeing with
+        every other host on the padded shapes (the targets come from
+        `plan_pad_shapes`, metadata only)."""
         B = len(samples)
-        max_c = _round_up(max(len(s.text_ids) for s in samples), self.text_bucket)
+        if pad_to is not None:
+            max_c, max_t = pad_to
+        else:
+            max_c = _round_up(max(len(s.text_ids) for s in samples),
+                              self.text_bucket)
+            max_t = min(_round_up(max(s.mel.shape[0] for s in samples),
+                                  self.mel_bucket),
+                        self.config.train.max_mel_len)
         mel_lens = np.array([s.mel.shape[0] for s in samples], np.int32)
-        max_t = min(_round_up(int(mel_lens.max()), self.mel_bucket),
-                    self.config.train.max_mel_len)
         mel_lens = np.minimum(mel_lens, max_t)
         n_mels = samples[0].mel.shape[1]
         H = samples[0].cells.shape[1] if samples[0].cells is not None else 0
@@ -215,9 +227,50 @@ class OnomaDataset:
                 plan.append(chunk)
         return plan
 
-    def load_batch(self, idx_list: list[int]) -> dict:
+    def load_batch(self, idx_list: list[int],
+                   pad_to: tuple[int, int] | None = None) -> dict:
         """Load + collate one planned batch (the per-batch worker unit)."""
-        return self.collate([self[i] for i in idx_list])
+        return self.collate([self[i] for i in idx_list], pad_to=pad_to)
+
+    # ------------------------------------------------------------------
+    def mel_len_index(self) -> np.ndarray:
+        """Per-row mel length (frames), aligned with self.rows.
+
+        Duration files already pin sum(durations) == mel frames (pinned by
+        tests/test_pipeline_e2e.py), so one pass over the tiny duration
+        .npy files yields every batch's pad target without touching a mel.
+        Cached in memory; ~seconds for the full RWCP corpus."""
+        if getattr(self, "_mel_lens", None) is None:
+            out = np.empty(len(self.rows), np.int32)
+            for i, (name, audiotype, *_rest) in enumerate(self.rows):
+                d = np.load(self.root / "duration" / audiotype / f"{name}.npy")
+                out[i] = int(d.sum())
+            self._mel_lens = out
+        return self._mel_lens
+
+    def plan_pad_shapes(self, plan: list[list[int]]) -> list[tuple[int, int]]:
+        """(max_c, max_t) pad targets for each planned batch, METADATA ONLY
+        (text lengths from the rows, mel lengths from mel_len_index).
+
+        Exactly reproduces what `collate` would derive from the loaded
+        samples — which is what lets each host of a multi-process run load
+        only its own row slice and still agree on batch shapes
+        (data/loader.py local_slice; parallel/distributed.py)."""
+        mel_lens = self.mel_len_index()
+
+        def text_len(i: int) -> int:
+            t = self.rows[i][4]
+            return len(t.replace("{", "").replace("}", ""))
+
+        shapes = []
+        for chunk in plan:
+            max_c = _round_up(max(text_len(i) for i in chunk),
+                              self.text_bucket)
+            max_t = min(_round_up(int(max(mel_lens[i] for i in chunk)),
+                                  self.mel_bucket),
+                        self.config.train.max_mel_len)
+            shapes.append((max_c, max_t))
+        return shapes
 
     def batches(self, group_size: int = 4, seed: int | None = None,
                 shuffle: bool = True):

@@ -69,14 +69,22 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
-def shard_batch_multiprocess(batch: dict, mesh) -> dict:
-    """Build the global sharded device batch from the full host batch.
+def shard_batch_multiprocess(batch: dict, mesh,
+                             already_local: bool = False) -> dict:
+    """Build the global sharded device batch from host data.
 
-    Every process holds the SAME host batch (identical seeds make the
-    loaders agree); each contributes only its contiguous row slice
-    [p*B/P, (p+1)*B/P) to the devices, so per-host H2D traffic is B/P rows.
-    Batch size must divide by the process count times local device count
-    (i.e. by mesh.size).
+    already_local=False: every process holds the SAME full host batch
+    (identical seeds make the loaders agree); each contributes only its
+    contiguous row slice [p*B/P, (p+1)*B/P) to the devices.
+
+    already_local=True: the batch holds ONLY this process's rows (the
+    partitioned loader path, data/loader.py local_slice — every host then
+    loads 1/P of the data instead of all of it); the global batch is
+    P x local rows. Padded shapes must already agree across hosts
+    (`OnomaDataset.plan_pad_shapes`).
+
+    Either way per-host H2D traffic is B/P rows, and the global batch size
+    must divide by mesh.size.
     """
     sh = batch_sharding(mesh)
     p, n = jax.process_index(), jax.process_count()
@@ -85,13 +93,19 @@ def shard_batch_multiprocess(batch: dict, mesh) -> dict:
         if x is None:
             return None
         x = np.asarray(x)
-        b = x.shape[0]
-        if b % n:
-            raise ValueError(
-                f"batch size {b} not divisible by {n} processes")
-        rows = b // n
-        return jax.make_array_from_process_local_data(
-            sh, np.ascontiguousarray(x[p * rows:(p + 1) * rows]), x.shape)
+        if already_local:
+            local = np.ascontiguousarray(x)
+            global_shape = (x.shape[0] * n,) + x.shape[1:]
+        else:
+            b = x.shape[0]
+            if b % n:
+                raise ValueError(
+                    f"batch size {b} not divisible by {n} processes")
+            rows = b // n
+            local = np.ascontiguousarray(x[p * rows:(p + 1) * rows])
+            global_shape = x.shape
+        return jax.make_array_from_process_local_data(sh, local,
+                                                      global_shape)
 
     return jax.tree.map(put, batch, is_leaf=lambda x: x is None)
 

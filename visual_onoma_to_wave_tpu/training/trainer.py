@@ -164,7 +164,8 @@ class Trainer:
         self._warned_unsharded = False
 
     # ------------------------------------------------------------------
-    def _place(self, batch: dict, strict: bool = False) -> dict:
+    def _place(self, batch: dict, strict: bool = False,
+               local: bool = False) -> dict:
         """Shard the batch over the data mesh. A batch not divisible by the
         mesh size cannot be sharded: hard error for training batches
         (strict=True — a mis-sized config must not silently train
@@ -174,6 +175,11 @@ class Trainer:
             return batch
         bs = batch["texts"].shape[0]
         if self.n_proc > 1:
+            if local:
+                # partitioned-loader path: `batch` holds only this
+                # process's rows, padded to the plan's global shapes
+                return shard_batch_multiprocess(batch, self.mesh,
+                                                already_local=True)
             if bs % self.mesh.size == 0:
                 # each process feeds only its own row slice to its chips
                 return shard_batch_multiprocess(batch, self.mesh)
@@ -240,26 +246,40 @@ class Trainer:
         return self.state
 
     def _train_loop(self, loader, total, step, epoch, cfg, on_step) -> None:
+        # multi-host: the epoch is planned globally from the shared seed,
+        # but each host loads ONLY its own row slice of every batch (pad
+        # shapes come from metadata, so all hosts agree) — host-side work
+        # scales 1/P instead of being replicated P times
+        local = self.n_proc > 1
+        local_slice = ((jax.process_index(), self.n_proc)
+                       if local else None)
         while step < total:
             epoch += 1
             for batch in loader.epoch(
-                    group_size=4, seed=self.config.train.seed + epoch):
-                jb = self._place(_jit_batch(batch), strict=True)
+                    group_size=4, seed=self.config.train.seed + epoch,
+                    local_slice=local_slice):
+                jb = self._place(_jit_batch(batch), strict=True, local=local)
                 self._maybe_profile(step)
                 self.timer.start()
                 self.state, losses = self.train_step(self.state, jb, self._rng)
                 step = int(self.state.step)
                 if step % cfg.step.log_step == 0:
-                    # materialize after async dispatch
+                    # materialize after async dispatch. Under the
+                    # partitioned loader the local mel_lens cover 1/P
+                    # of the global batch: scale for a global
+                    # frames/sec estimate (hosts' slices differ
+                    # slightly in length, so it is approximate)
                     losses = {k: float(v) for k, v in losses.items()}
-                    self.timer.stop(int(np.sum(batch["mel_lens"])))
+                    self.timer.stop(int(np.sum(batch["mel_lens"]))
+                                * (self.n_proc if local else 1))
                     losses["frames_per_sec"] = self.timer.frames_per_sec
                     self.train_log.scalars(step, losses)
                     self.train_log.text(
                         f"step {step} epoch {epoch} total {losses['total_loss']:.4f} "
                         f"mel {losses['mel_loss']:.4f} fps {losses['frames_per_sec']:.0f}")
                 else:
-                    self.timer.stop(int(np.sum(batch["mel_lens"])))
+                    self.timer.stop(int(np.sum(batch["mel_lens"]))
+                                * (self.n_proc if local else 1))
                 if step % cfg.step.val_step == 0:
                     val_losses = self.evaluate(
                         step, metrics=cfg.step.val_metrics)
