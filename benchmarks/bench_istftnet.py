@@ -45,6 +45,10 @@ def main() -> int:
         "istftnet_c8c8i": build_istftnet("c8c8i", dtype=dtype),
         "istftnet_melrate": build_istftnet("melrate", dtype=dtype),
     }
+    if "--presets" in sys.argv:  # official V2/V3 size presets too
+        from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
+        gens["hifigan_v2"] = get_vocoder("HiFi-GAN-v2", dtype=dtype)
+        gens["hifigan_v3"] = get_vocoder("HiFi-GAN-v3", dtype=dtype)
 
     for name, gen in gens.items():
         params = jax.jit(gen.init)(jax.random.PRNGKey(0),

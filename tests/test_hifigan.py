@@ -185,3 +185,129 @@ def test_chunked_vocoding_sample_exact():
     bad = np.asarray(vocoder_infer_chunked(
         params, mel, chunk_frames=16, halo_frames=1, gen=gen))
     assert np.abs(bad[:, h:-h] - full[:, h:-h]).max() > 1e-4
+
+
+# ---------------------------------------------------------------------------
+# V3 preset: ResBlock2 generator parity (official config_v3.json layout)
+# ---------------------------------------------------------------------------
+
+V3_UPS = (8, 8, 4)
+V3_UPK = (16, 16, 8)
+V3_RKS = (3, 5, 7)
+V3_RDS = ((1, 2), (2, 6), (3, 12))
+V3_CH0 = 32  # shrunk from 256 for test speed
+
+
+def make_state_v3(rng) -> dict:
+    s = {}
+
+    def conv(name, cout, cin, k):
+        s[f"{name}.weight"] = torch.tensor(
+            rng.standard_normal((cout, cin, k)).astype(np.float32) * 0.1)
+        s[f"{name}.bias"] = torch.tensor(
+            rng.standard_normal(cout).astype(np.float32) * 0.1)
+
+    def convtr(name, cin, cout, k):
+        s[f"{name}.weight"] = torch.tensor(
+            rng.standard_normal((cin, cout, k)).astype(np.float32) * 0.1)
+        s[f"{name}.bias"] = torch.tensor(
+            rng.standard_normal(cout).astype(np.float32) * 0.1)
+
+    conv("conv_pre", V3_CH0, N_MELS, 7)
+    for i, (u, k) in enumerate(zip(V3_UPS, V3_UPK)):
+        cin, cout = V3_CH0 // 2 ** i, V3_CH0 // 2 ** (i + 1)
+        convtr(f"ups.{i}", cin, cout, k)
+        for j, rk in enumerate(V3_RKS):
+            r = i * len(V3_RKS) + j
+            for di in range(len(V3_RDS[j])):
+                conv(f"resblocks.{r}.convs.{di}", cout, cout, rk)
+    conv("conv_post", 1, V3_CH0 // 2 ** len(V3_UPS), 7)
+    return s
+
+
+def torch_forward_v3(s: dict, mel: torch.Tensor) -> torch.Tensor:
+    """Functional transcription of the official Generator with resblock
+    type "2" (hifi-gan models.py ResBlock2: one dilated conv per
+    residual)."""
+    x = F.conv1d(mel, s["conv_pre.weight"], s["conv_pre.bias"], padding=3)
+    for i, (u, k) in enumerate(zip(V3_UPS, V3_UPK)):
+        x = F.leaky_relu(x, 0.1)
+        x = F.conv_transpose1d(
+            x, s[f"ups.{i}.weight"], s[f"ups.{i}.bias"], stride=u,
+            padding=(k - u) // 2)
+        acc = None
+        for j, rk in enumerate(V3_RKS):
+            r = i * len(V3_RKS) + j
+            y = x
+            for di, d in enumerate(V3_RDS[j]):
+                h = F.leaky_relu(y, 0.1)
+                h = F.conv1d(h, s[f"resblocks.{r}.convs.{di}.weight"],
+                             s[f"resblocks.{r}.convs.{di}.bias"],
+                             dilation=d, padding=d * (rk - 1) // 2)
+                y = y + h
+            acc = y if acc is None else acc + y
+        x = acc / len(V3_RKS)
+    x = F.leaky_relu(x)
+    x = F.conv1d(x, s["conv_post.weight"], s["conv_post.bias"], padding=3)
+    return torch.tanh(x)
+
+
+def test_v3_generator_matches_torch_sample_exact():
+    rng = np.random.default_rng(7)
+    state = make_state_v3(rng)
+    mel = rng.standard_normal((2, N_MELS, 13)).astype(np.float32)
+
+    golden = torch_forward_v3(state, torch.tensor(mel)
+                              ).detach().numpy()[:, 0, :]
+
+    gen = HiFiGANGenerator(
+        upsample_rates=V3_UPS, upsample_kernel_sizes=V3_UPK,
+        upsample_initial_channel=V3_CH0, resblock_kernel_sizes=V3_RKS,
+        resblock_dilations=V3_RDS, resblock_type="2", n_mels=N_MELS)
+    assert gen.total_upsample == 256
+    params = {"params": convert_torch_state_dict(
+        {k: v.numpy() for k, v in state.items()},
+        upsample_rates=V3_UPS, resblock_kernel_sizes=V3_RKS,
+        resblock_dilations=V3_RDS, resblock_type="2")}
+    ours = np.asarray(gen.apply(params, jnp.asarray(mel.transpose(0, 2, 1))))
+
+    assert ours.shape == golden.shape == (2, 13 * 256)
+    np.testing.assert_allclose(ours, golden, atol=2e-5)
+
+
+def test_hifigan_presets_dispatch():
+    """get_vocoder's v1/v2/v3 presets build the official architectures and
+    all keep hop-length upsampling; V3's chunked halo is exact."""
+    from visual_onoma_to_wave_tpu.models.hifigan import (
+        receptive_halo_frames, vocoder_infer_chunked)
+    from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
+
+    import jax
+
+    v1 = get_vocoder("HiFi-GAN-v1")
+    v2 = get_vocoder("HiFi-GAN-v2")
+    v3 = get_vocoder("HiFi-GAN-v3")
+    assert v1.upsample_initial_channel == 512 and v1.resblock_type == "1"
+    assert v2.upsample_initial_channel == 128 and v2.resblock_type == "1"
+    assert (v3.upsample_initial_channel, v3.resblock_type) == (256, "2")
+    assert v3.upsample_rates == (8, 8, 4)
+    for g in (v1, v2, v3):
+        assert g.total_upsample == 256
+    # explicit kwargs still override a preset
+    small = get_vocoder("HiFi-GAN-v3", upsample_initial_channel=32)
+    assert small.upsample_initial_channel == 32 and small.resblock_type == "2"
+
+    # chunked vocoding with the type-2 halo is sample-exact (tiny v3)
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.standard_normal((1, 40, 80)).astype(np.float32))
+    params = jax.jit(small.init)(jax.random.PRNGKey(0), mel)
+    full = np.asarray(small.apply(params, mel))
+    halo = receptive_halo_frames(
+        small.upsample_rates, small.upsample_kernel_sizes,
+        small.resblock_kernel_sizes, small.resblock_dilations,
+        resblock_type="2")
+    chunked = np.asarray(vocoder_infer_chunked(
+        params, mel, chunk_frames=16, gen=small))
+    edge = halo * 256
+    np.testing.assert_allclose(chunked[0, edge:-edge], full[0, edge:-edge],
+                               atol=1e-5)

@@ -563,3 +563,25 @@ def test_ema_off_is_the_official_recipe(tmp_path):
     trainer.save(1)
     assert (tmp_path / "1" / "generator").exists()
     assert not (tmp_path / "1" / "generator_ema").exists()
+
+
+def test_resblock2_family_trains():
+    """A HiFi-GAN V3-style (ResBlock2) generator plugs into the GAN trainer
+    unchanged (hop-matched 8*8*4 upsampling)."""
+    gen = HiFiGANGenerator(
+        upsample_rates=(8, 8, 4), upsample_kernel_sizes=(16, 16, 8),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 2),), resblock_type="2")
+    t = np.arange(6000) / 22050.0
+    clip = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    trainer = VocoderTrainer(
+        [clip], _tiny_cfg(learning_rate=5e-4), gen=gen, use_mesh=False,
+        mpd=MultiPeriodDiscriminator(**TINY_MPD),
+        msd=MultiScaleDiscriminator(**TINY_MSD))
+    p0 = jax.device_get(trainer.state.gen_params)
+    audio = jnp.asarray(trainer.sampler.next_batch())
+    state1, m = trainer.train_step(trainer.state, audio)
+    assert all(np.isfinite(float(v)) for v in m.values())
+    p1 = jax.device_get(state1.gen_params)
+    assert any(np.abs(a - b).max() > 0 for a, b in
+               zip(jax.tree.leaves(p0), jax.tree.leaves(p1)))

@@ -455,8 +455,10 @@ def main(argv=None):
     s.add_argument("--restore-step", type=int, default=None,
                    help="resume from this checkpoint step (-1 = latest)")
     s.add_argument("--family", default="hifigan",
-                   choices=["hifigan", "istftnet", "istftnet-mel"],
-                   help="generator family: hifigan (reference parity), "
+                   choices=["hifigan", "hifigan-v2", "hifigan-v3",
+                            "istftnet", "istftnet-mel"],
+                   help="generator family: hifigan (V1, reference parity), "
+                        "hifigan-v2/-v3 (official smaller presets), "
                         "istftnet (C8C8I; drops the MXU-starved small-"
                         "channel tail), istftnet-mel (mel-rate trunk + "
                         "full iSTFT head)")

@@ -92,6 +92,47 @@ class ResBlock1(nn.Module):
         return x
 
 
+class ResBlock2(nn.Module):
+    """Official resblock type "2" (config_v3.json): 2x [lrelu -> dilated
+    conv -> +x] — one conv per residual, each with its own dilation
+    (reference hifi-gan models.py ResBlock2)."""
+
+    channels: int
+    kernel_size: int
+    dilations: tuple[int, ...] = (1, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilations):
+            w = self.param(f"convs_{i}_w", nn.initializers.normal(0.01),
+                           (self.kernel_size, self.channels, self.channels))
+            b = self.param(f"convs_{i}_b", nn.initializers.zeros,
+                           (self.channels,))
+            h = nn.leaky_relu(x, LRELU_SLOPE)
+            h = _conv1d(h, w, b, dilation=d, dtype=self.dtype)
+            x = x + h
+        return x
+
+
+# Official model-size presets (hifi-gan config_v{2,3}.json). V1 is the
+# module's defaults; V2 trades channels for 4x fewer parameters at the
+# same receptive field; V3 swaps in the cheaper ResBlock2 and a 3-stage
+# (8,8,4) upsample — all keep total_upsample == 256 == hop_length.
+HIFIGAN_PRESETS = {
+    "v1": {},
+    "v2": {"upsample_initial_channel": 128},
+    "v3": {
+        "resblock_type": "2",
+        "upsample_rates": (8, 8, 4),
+        "upsample_kernel_sizes": (16, 16, 8),
+        "upsample_initial_channel": 256,
+        "resblock_kernel_sizes": (3, 5, 7),
+        "resblock_dilations": ((1, 2), (2, 6), (3, 12)),
+    },
+}
+
+
 class HiFiGANGenerator(nn.Module):
     """Mel (B, T, 80) -> waveform (B, T*256)."""
 
@@ -100,6 +141,7 @@ class HiFiGANGenerator(nn.Module):
     upsample_initial_channel: int = 512
     resblock_kernel_sizes: tuple[int, ...] = (3, 7, 11)
     resblock_dilations: tuple[tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    resblock_type: str = "1"  # "1" (V1/V2 configs) or "2" (V3)
     n_mels: int = 80
     dtype: jnp.dtype = jnp.float32  # compute precision; params stay f32
 
@@ -125,10 +167,11 @@ class HiFiGANGenerator(nn.Module):
             x = _conv_transpose1d(x, wt, bt, stride=u,
                                   torch_padding=(k - u) // 2, dtype=self.dtype)
             acc = None
+            block_cls = ResBlock2 if self.resblock_type == "2" else ResBlock1
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilations)
             ):
-                y = ResBlock1(cout, rk, tuple(rd), dtype=self.dtype,
+                y = block_cls(cout, rk, tuple(rd), dtype=self.dtype,
                               name=f"resblock_{i}_{j}")(x)
                 acc = y if acc is None else acc + y
             x = acc / n_kernels
@@ -175,10 +218,11 @@ def convert_torch_state_dict(
     upsample_rates=(8, 8, 2, 2),
     resblock_kernel_sizes=(3, 7, 11),
     resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+    resblock_type: str = "1",
 ) -> dict:
     """Map a torch HiFi-GAN generator state_dict (reference layout:
-    conv_pre / ups.N / resblocks.M.convs{1,2}.J / conv_post) to this module's
-    parameter pytree."""
+    conv_pre / ups.N / resblocks.M.convs{1,2}.J / conv_post; V3 checkpoints
+    use resblocks.M.convs.J) to this module's parameter pytree."""
     params: dict = {}
     w, b = _t_conv(state, "conv_pre")
     params["conv_pre_w"], params["conv_pre_b"] = w, b
@@ -190,10 +234,14 @@ def convert_torch_state_dict(
             r = i * n_kernels + j
             block: dict = {}
             for di in range(len(resblock_dilations[j])):
-                w1, b1 = _t_conv(state, f"resblocks.{r}.convs1.{di}")
-                w2, b2 = _t_conv(state, f"resblocks.{r}.convs2.{di}")
-                block[f"convs1_{di}_w"], block[f"convs1_{di}_b"] = w1, b1
-                block[f"convs2_{di}_w"], block[f"convs2_{di}_b"] = w2, b2
+                if resblock_type == "2":
+                    w1, b1 = _t_conv(state, f"resblocks.{r}.convs.{di}")
+                    block[f"convs_{di}_w"], block[f"convs_{di}_b"] = w1, b1
+                else:
+                    w1, b1 = _t_conv(state, f"resblocks.{r}.convs1.{di}")
+                    w2, b2 = _t_conv(state, f"resblocks.{r}.convs2.{di}")
+                    block[f"convs1_{di}_w"], block[f"convs1_{di}_b"] = w1, b1
+                    block[f"convs2_{di}_w"], block[f"convs2_{di}_b"] = w2, b2
             params[f"resblock_{i}_{j}"] = block
     w, b = _t_conv(state, "conv_post")
     params["conv_post_w"], params["conv_post_b"] = w, b
@@ -222,6 +270,7 @@ def receptive_halo_frames(
     resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
     pre_kernel: int = 7,
     post_kernel: int = 7,
+    resblock_type: str = "1",
 ) -> int:
     """One-sided receptive field of the generator in INPUT mel frames.
 
@@ -232,12 +281,19 @@ def receptive_halo_frames(
     halo = (post_kernel - 1) // 2  # samples at output rate
     for u, k, in zip(reversed(upsample_rates),
                      reversed(upsample_kernel_sizes)):
-        # MRF half-span at this stage's rate: max over branches of
-        # sum_j [d_j*(k-1)/2 + (k-1)/2]
-        mrf = max(
-            sum((d + 1) * (rk - 1) // 2 for d in rd)
-            for rk, rd in zip(resblock_kernel_sizes, resblock_dilations)
-        )
+        # MRF half-span at this stage's rate, max over branches:
+        # ResBlock1 unit = dilated conv + d=1 conv -> (d+1)*(k-1)/2 each;
+        # ResBlock2 unit = one dilated conv -> d*(k-1)/2 each
+        if resblock_type == "2":
+            mrf = max(
+                sum(d * (rk - 1) // 2 for d in rd)
+                for rk, rd in zip(resblock_kernel_sizes, resblock_dilations)
+            )
+        else:
+            mrf = max(
+                sum((d + 1) * (rk - 1) // 2 for d in rd)
+                for rk, rd in zip(resblock_kernel_sizes, resblock_dilations)
+            )
         halo += mrf
         # transposed conv: output position n draws on inputs within
         # ceil((k - 1 - pad) / u) of n//u; then move to the input rate
@@ -271,7 +327,8 @@ def vocoder_infer_chunked(
         else:
             halo_frames = receptive_halo_frames(
                 gen.upsample_rates, gen.upsample_kernel_sizes,
-                gen.resblock_kernel_sizes, gen.resblock_dilations)
+                gen.resblock_kernel_sizes, gen.resblock_dilations,
+                resblock_type=getattr(gen, "resblock_type", "1"))
     b, t, m = mel.shape
     n_chunks = -(-t // chunk_frames)
     t_pad = n_chunks * chunk_frames

@@ -33,8 +33,12 @@ def get_vocoder(model: str = "HiFi-GAN", *, dtype=jnp.float32, **kwargs):
     name = model.lower().replace("-", "").replace("_", "")
     if name == "melgan":
         return MelGANGenerator(**kwargs)
-    if name == "hifigan":
-        return HiFiGANGenerator(dtype=dtype, **kwargs)
+    if name in ("hifigan", "hifiganv1", "hifiganv2", "hifiganv3"):
+        from visual_onoma_to_wave_tpu.models.hifigan import HIFIGAN_PRESETS
+        preset = dict(HIFIGAN_PRESETS[name[-2:] if name != "hifigan"
+                                      else "v1"])
+        preset.update(kwargs)  # explicit overrides win
+        return HiFiGANGenerator(dtype=dtype, **preset)
     if name in ("istftnet", "istftnetmel"):
         from visual_onoma_to_wave_tpu.models.istftnet import build_istftnet
         preset = "melrate" if name == "istftnetmel" else "c8c8i"
