@@ -1,0 +1,84 @@
+"""Corpus integrity checker (data/doctor.py, cli doctor).
+
+The reference has no validation tooling — a stale/broken preprocessed dir
+fails deep inside training. The doctor must pass a healthy corpus and
+name each class of corruption."""
+import json
+
+import numpy as np
+import pytest
+
+from test_trainer_synthesis import make_preprocessed
+from visual_onoma_to_wave_tpu.config import Config
+from visual_onoma_to_wave_tpu.data.doctor import check_corpus
+
+
+@pytest.fixture()
+def corpus_cfg(tmp_path):
+    make_preprocessed(tmp_path)
+    cfg = Config()
+    return cfg.replace(path=cfg.path.__class__(
+        preprocessed=str(tmp_path), font=""))
+
+
+def test_clean_corpus_passes(corpus_cfg):
+    report = check_corpus(corpus_cfg)
+    assert report["ok"], report["problems"]
+    assert report["checked_rows"] == 8
+    assert report["counts"]["train"] == 6
+    assert report["n_audiotype"] == 1 and report["n_vocab"] >= 2
+
+
+def test_detects_corruptions(corpus_cfg, tmp_path):
+    root = tmp_path
+    # 1. duration / mel mismatch
+    dur_files = sorted((root / "duration" / "drum").glob("*.npy"))
+    d = np.load(dur_files[0])
+    d[0] += 3
+    np.save(dur_files[0], d)
+    # 2. missing energy file
+    e_files = sorted((root / "energy" / "drum").glob("*.npy"))
+    e_files[1].unlink()
+    # 3. split overlap: duplicate a train row into val
+    train = (root / "train.txt").read_text().splitlines()
+    (root / "val.txt").write_text(
+        (root / "val.txt").read_text() + train[0] + "\n")
+    # 4. wrong image width
+    w_files = sorted((root / "image" / "width" / "drum").glob("*.npy"))
+    w = np.load(w_files[2])
+    np.save(w_files[2], w + 1)
+
+    report = check_corpus(corpus_cfg)
+    assert not report["ok"]
+    text = "\n".join(report["problems"])
+    assert "durations sum" in text
+    assert "missing energy" in text
+    assert "appears in both" in text
+    assert "sum(widths)" in text
+
+
+def test_detects_unnormalized_energy(corpus_cfg, tmp_path):
+    for p in (tmp_path / "energy" / "drum").glob("*.npy"):
+        np.save(p, np.load(p) * 300.0 + 500.0)
+    report = check_corpus(corpus_cfg)
+    assert not report["ok"]
+    assert any("un-normalized" in p for p in report["problems"])
+
+
+def test_cli_doctor_exit_codes(corpus_cfg, tmp_path, capsys):
+    from visual_onoma_to_wave_tpu.cli import main
+
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(corpus_cfg.to_dict()))
+    assert main(["doctor", str(cfg_path)]) in (0, None)
+    out = json.loads(capsys.readouterr().out)
+    assert out["ok"]
+
+    (tmp_path / "mel" / "drum" / "nonexistent-check.npy")  # no-op
+    dur = sorted((tmp_path / "duration" / "drum").glob("*.npy"))[0]
+    d = np.load(dur)
+    d[0] += 1
+    np.save(dur, d)
+    with pytest.raises(SystemExit) as e:
+        main(["doctor", str(cfg_path)])
+    assert e.value.code == 1

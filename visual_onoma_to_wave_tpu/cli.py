@@ -67,6 +67,15 @@ def cmd_preprocess(args):
     print(json.dumps(result))
 
 
+def cmd_doctor(args):
+    from visual_onoma_to_wave_tpu.data.doctor import check_corpus
+    cfg = load_config(args.config)
+    report = check_corpus(cfg, limit=args.limit)
+    print(json.dumps(report, ensure_ascii=False, indent=2))
+    if not report["ok"]:
+        raise SystemExit(1)
+
+
 def cmd_train(args):
     if getattr(args, "distributed", False):
         from visual_onoma_to_wave_tpu.parallel import init_distributed
@@ -88,6 +97,12 @@ def cmd_train(args):
 
 
 def cmd_evaluate(args):
+    if getattr(args, "distributed", False):
+        from visual_onoma_to_wave_tpu.parallel import init_distributed
+        init_distributed(coordinator_address=args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id,
+                         cpu_devices_per_process=args.distributed_cpu_devices)
     from visual_onoma_to_wave_tpu.training.trainer import Trainer
     cfg = load_config(args.config)
     trainer = Trainer(cfg, restore_step=args.restore_step)
@@ -331,6 +346,16 @@ def main(argv=None):
                         "audio/ (vocoder training/fine-tuning pairs)")
     s.set_defaults(fn=cmd_preprocess)
 
+    s = sub.add_parser(
+        "doctor",
+        help="validate a preprocessed corpus: feature files present, "
+             "duration/mel/text/image invariants hold, splits disjoint, "
+             "normalization applied (exit 1 on problems)")
+    s.add_argument("config")
+    s.add_argument("--limit", type=int, default=None,
+                   help="check at most N rows per split (default: all)")
+    s.set_defaults(fn=cmd_doctor)
+
     s = sub.add_parser("train", help="train the acoustic model (04_train)")
     s.add_argument("config")
     s.add_argument("--restore-step", type=int, default=None)
@@ -365,6 +390,13 @@ def main(argv=None):
                    help="also compute objective quality metrics: "
                         "teacher-forced mel_l1 + MCD and free-running "
                         "DTW-aligned MCD (dB)")
+    s.add_argument("--distributed", action="store_true",
+                   help="evaluate over a multi-host mesh (same semantics "
+                        "as cli train --distributed)")
+    s.add_argument("--coordinator", default=None)
+    s.add_argument("--num-processes", type=int, default=None)
+    s.add_argument("--process-id", type=int, default=None)
+    s.add_argument("--distributed-cpu-devices", type=int, default=None)
     s.set_defaults(fn=cmd_evaluate)
 
     s = sub.add_parser("synthesize", help="text -> wav (prediction.ipynb)")

@@ -198,6 +198,11 @@ def teacher_forced_pairs(trainer, limit: int | None = None):
 
     from visual_onoma_to_wave_tpu.training.trainer import _jit_batch
 
+    if jax.process_count() > 1:
+        raise ValueError(
+            "teacher_forced_pairs reads per-item model outputs and is "
+            "single-process: export the pairs on one host (they are plain "
+            "arrays), then train the vocoder distributed")
     root = pathlib.Path(trainer.config.path.preprocessed)
     labels = {name: label for name, label, *_ in trainer.train_ds.rows}
     pairs = []
