@@ -82,3 +82,32 @@ def test_cli_doctor_exit_codes(corpus_cfg, tmp_path, capsys):
     with pytest.raises(SystemExit) as e:
         main(["doctor", str(cfg_path)])
     assert e.value.code == 1
+
+
+def test_malformed_rows_reported_not_crashed(corpus_cfg, tmp_path):
+    (tmp_path / "train.txt").write_text(
+        (tmp_path / "train.txt").read_text() + "clip1|drum\n")
+    report = check_corpus(corpus_cfg)
+    assert not report["ok"]
+    assert any("malformed row" in p for p in report["problems"])
+
+
+def test_checkpoint_vocab_mismatch_detected(corpus_cfg):
+    # a checkpoint trained before "ン" existed in the corpus
+    report = check_corpus(corpus_cfg, symbols={"パ": 1})
+    assert not report["ok"]
+    assert any("unencodable" in p for p in report["problems"])
+    # the full corpus vocabulary passes
+    clean = check_corpus(corpus_cfg)
+    assert clean["ok"]
+
+
+def test_limit_is_per_split(corpus_cfg, tmp_path):
+    # corrupt a VAL row; with a train-sized limit the val split must
+    # still be covered (limit applies per split, not globally)
+    val_rows = (tmp_path / "val.txt").read_text().splitlines()
+    name, label = val_rows[0].split("|")[0], val_rows[0].split("|")[1]
+    (tmp_path / "energy" / label / f"{name}.npy").unlink()
+    report = check_corpus(corpus_cfg, limit=6)
+    assert not report["ok"]
+    assert any("missing energy" in p for p in report["problems"])

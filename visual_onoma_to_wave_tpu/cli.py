@@ -67,22 +67,50 @@ def cmd_preprocess(args):
     print(json.dumps(result))
 
 
-def cmd_doctor(args):
-    from visual_onoma_to_wave_tpu.data.doctor import check_corpus
-    cfg = load_config(args.config)
-    report = check_corpus(cfg, limit=args.limit)
-    print(json.dumps(report, ensure_ascii=False, indent=2))
-    if not report["ok"]:
-        raise SystemExit(1)
-
-
-def cmd_train(args):
+def _maybe_init_distributed(args):
+    """Join a multi-host run before any JAX backend init (shared by the
+    train / train-vocoder / evaluate subcommands)."""
     if getattr(args, "distributed", False):
         from visual_onoma_to_wave_tpu.parallel import init_distributed
         init_distributed(coordinator_address=args.coordinator,
                          num_processes=args.num_processes,
                          process_id=args.process_id,
                          cpu_devices_per_process=args.distributed_cpu_devices)
+
+
+def _add_distributed_args(s):
+    s.add_argument("--distributed", action="store_true",
+                   help="join a multi-host run (jax.distributed): on TPU "
+                        "pods the topology auto-detects; pair with "
+                        "--coordinator/--num-processes/--process-id "
+                        "elsewhere. Every host runs this same command; "
+                        "ckpt/log paths must be shared storage")
+    s.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (omit on TPU pods)")
+    s.add_argument("--num-processes", type=int, default=None)
+    s.add_argument("--process-id", type=int, default=None)
+    s.add_argument("--distributed-cpu-devices", type=int, default=None,
+                   help="hermetic dry-run of the multi-host layout on CPU: "
+                        "N virtual devices per process, gloo collectives")
+
+
+def cmd_doctor(args):
+    from visual_onoma_to_wave_tpu.data.doctor import check_corpus
+    cfg = load_config(args.config)
+    symbols = None
+    if args.ckpt:
+        from visual_onoma_to_wave_tpu.data.symbols import load_symbol_map
+        symbols = load_symbol_map(args.ckpt)
+        if symbols is None:
+            raise SystemExit(f"no symbols.json under {args.ckpt}")
+    report = check_corpus(cfg, limit=args.limit, symbols=symbols)
+    print(json.dumps(report, ensure_ascii=False, indent=2))
+    if not report["ok"]:
+        raise SystemExit(1)
+
+
+def cmd_train(args):
+    _maybe_init_distributed(args)
     from visual_onoma_to_wave_tpu.training.trainer import Trainer
     cfg = load_config(args.config)
     vocoder_params = None
@@ -97,12 +125,7 @@ def cmd_train(args):
 
 
 def cmd_evaluate(args):
-    if getattr(args, "distributed", False):
-        from visual_onoma_to_wave_tpu.parallel import init_distributed
-        init_distributed(coordinator_address=args.coordinator,
-                         num_processes=args.num_processes,
-                         process_id=args.process_id,
-                         cpu_devices_per_process=args.distributed_cpu_devices)
+    _maybe_init_distributed(args)
     from visual_onoma_to_wave_tpu.training.trainer import Trainer
     cfg = load_config(args.config)
     trainer = Trainer(cfg, restore_step=args.restore_step)
@@ -269,12 +292,7 @@ def cmd_serve(args):
 
 
 def cmd_train_vocoder(args):
-    if getattr(args, "distributed", False):
-        from visual_onoma_to_wave_tpu.parallel import init_distributed
-        init_distributed(coordinator_address=args.coordinator,
-                         num_processes=args.num_processes,
-                         process_id=args.process_id,
-                         cpu_devices_per_process=args.distributed_cpu_devices)
+    _maybe_init_distributed(args)
     from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
         VocoderTrainConfig, VocoderTrainer, load_wav_dir)
 
@@ -354,6 +372,10 @@ def main(argv=None):
     s.add_argument("config")
     s.add_argument("--limit", type=int, default=None,
                    help="check at most N rows per split (default: all)")
+    s.add_argument("--ckpt", default=None,
+                   help="checkpoint dir: also check every row is encodable "
+                        "by ITS saved symbols.json (catches a corpus "
+                        "regenerated after training)")
     s.set_defaults(fn=cmd_doctor)
 
     s = sub.add_parser("train", help="train the acoustic model (04_train)")
@@ -368,19 +390,7 @@ def main(argv=None):
                    help="batch-loader worker processes (default: min(10, "
                         "cpus); <=1 or small hosts load serially behind a "
                         "prefetch thread — reference num_workers=10)")
-    s.add_argument("--distributed", action="store_true",
-                   help="join a multi-host run (jax.distributed): on TPU "
-                        "pods the topology auto-detects; pair with "
-                        "--coordinator/--num-processes/--process-id "
-                        "elsewhere. Every host runs this same command; the "
-                        "ckpt/log paths must be shared storage")
-    s.add_argument("--coordinator", default=None,
-                   help="host:port of process 0 (omit on TPU pods)")
-    s.add_argument("--num-processes", type=int, default=None)
-    s.add_argument("--process-id", type=int, default=None)
-    s.add_argument("--distributed-cpu-devices", type=int, default=None,
-                   help="hermetic dry-run of the multi-host layout on CPU: "
-                        "N virtual devices per process, gloo collectives")
+    _add_distributed_args(s)
     s.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("evaluate", help="validation losses (evaluate.py)")
@@ -390,13 +400,7 @@ def main(argv=None):
                    help="also compute objective quality metrics: "
                         "teacher-forced mel_l1 + MCD and free-running "
                         "DTW-aligned MCD (dB)")
-    s.add_argument("--distributed", action="store_true",
-                   help="evaluate over a multi-host mesh (same semantics "
-                        "as cli train --distributed)")
-    s.add_argument("--coordinator", default=None)
-    s.add_argument("--num-processes", type=int, default=None)
-    s.add_argument("--process-id", type=int, default=None)
-    s.add_argument("--distributed-cpu-devices", type=int, default=None)
+    _add_distributed_args(s)
     s.set_defaults(fn=cmd_evaluate)
 
     s = sub.add_parser("synthesize", help="text -> wav (prediction.ipynb)")
@@ -502,13 +506,7 @@ def main(argv=None):
                         "(0 = off, official recipe; 0.999 for short runs, "
                         "0.9999 for the 200k recipe); saves an extra "
                         "generator_ema/ serving artifact per checkpoint")
-    s.add_argument("--distributed", action="store_true",
-                   help="join a multi-host run (same semantics as cli "
-                        "train --distributed)")
-    s.add_argument("--coordinator", default=None)
-    s.add_argument("--num-processes", type=int, default=None)
-    s.add_argument("--process-id", type=int, default=None)
-    s.add_argument("--distributed-cpu-devices", type=int, default=None)
+    _add_distributed_args(s)
     s.set_defaults(fn=cmd_train_vocoder)
 
     s = sub.add_parser("convert-acoustic",

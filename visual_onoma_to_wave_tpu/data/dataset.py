@@ -190,6 +190,14 @@ class OnomaDataset:
             batch["image_cells"] = cells.astype(np.float32) / 255.0
         return batch
 
+    def _row_text_len(self, i: int) -> int:
+        """Metadata text length of row i == len(encode_text(text)): the ONE
+        place the cleaned-length rule lives — batch_plan's sort key and
+        plan_pad_shapes' pad targets must agree with what collate derives
+        from the loaded samples (multi-host shape agreement rests on it)."""
+        t = self.rows[i][4]
+        return len(t.replace("{", "").replace("}", ""))
+
     def batch_plan(self, group_size: int = 4, seed: int | None = None,
                    shuffle: bool = True) -> list[list[int]]:
         """The epoch's exact batch composition as row-index lists, computed
@@ -209,16 +217,12 @@ class OnomaDataset:
                 seed if seed is not None else self.config.train.seed)
             rng.shuffle(order)
 
-        def text_len(i: int) -> int:
-            t = self.rows[i][4]
-            return len(t.replace("{", "").replace("}", ""))
-
         plan: list[list[int]] = []
         pool_size = group_size * self.batch_size
         for start in range(0, len(order), pool_size):
             pool_idx = [int(i) for i in order[start : start + pool_size]]
             if self.sort:
-                pool_idx.sort(key=lambda i: -text_len(i))  # stable, like
+                pool_idx.sort(key=lambda i: -self._row_text_len(i))  # stable, like
                 # the Sample-object sort it replaces
             for b in range(0, len(pool_idx), self.batch_size):
                 chunk = pool_idx[b : b + self.batch_size]
@@ -258,13 +262,9 @@ class OnomaDataset:
         (data/loader.py local_slice; parallel/distributed.py)."""
         mel_lens = self.mel_len_index()
 
-        def text_len(i: int) -> int:
-            t = self.rows[i][4]
-            return len(t.replace("{", "").replace("}", ""))
-
         shapes = []
         for chunk in plan:
-            max_c = _round_up(max(text_len(i) for i in chunk),
+            max_c = _round_up(max(self._row_text_len(i) for i in chunk),
                               self.text_bucket)
             max_t = min(_round_up(int(max(mel_lens[i] for i in chunk)),
                                   self.mel_bucket),

@@ -41,10 +41,16 @@ def _rows(path: pathlib.Path):
 
 
 def check_corpus(config: Config, limit: Optional[int] = None,
-                 max_problems: int = 50) -> dict:
+                 max_problems: int = 50,
+                 symbols: Optional[dict] = None) -> dict:
     """Validate the preprocessed directory. Returns
     {ok, checked_rows, problems: [...], counts: {...}} with `problems`
-    capped at max_problems (the count keeps growing)."""
+    capped at max_problems (the count keeps growing).
+
+    limit: check at most N rows PER SPLIT. symbols: a trained checkpoint's
+    saved symbol map (utils symbols.json) — rows are then checked
+    encodable against the CHECKPOINT vocabulary, catching a corpus that
+    was regenerated after training (the mismatch that breaks serving)."""
     root = pathlib.Path(config.path.preprocessed)
     problems: list[str] = []
     n_problems = 0
@@ -82,10 +88,18 @@ def check_corpus(config: Config, limit: Optional[int] = None,
                         f"{split}")
             seen[r[0]] = split
 
-    # vocabulary from all splits (the training-time construction,
-    # data/symbols.py: union of characters)
-    from visual_onoma_to_wave_tpu.data.symbols import build_symbol_map
-    symbol_map = build_symbol_map(root)
+    # vocabulary: corpus union (well-formed rows only — malformed rows are
+    # reported per-row below, not crashed on), like data/symbols.py builds
+    # at train time. When the caller supplies a CHECKPOINT's saved
+    # symbol map, rows are checked against THAT — the mismatch that
+    # actually breaks serving (a corpus regenerated after training).
+    chars: set = set()
+    for rows in splits.values():
+        for r in rows:
+            if len(r) >= 5:
+                chars.update(r[4].replace("{", "").replace("}", ""))
+    corpus_vocab = {s: i + 1 for i, s in enumerate(sorted(chars))}
+    symbol_map = symbols if symbols is not None else corpus_vocab
 
     n_mels = config.audio.mel.n_mel_channels
     is_energy = config.model.variance_embedding.is_energy_condition
@@ -94,9 +108,11 @@ def check_corpus(config: Config, limit: Optional[int] = None,
     checked = 0
     energies, kurtoses = [], []
     for split, rows in splits.items():
+        split_checked = 0
         for r in rows:
-            if limit is not None and checked >= limit:
+            if limit is not None and split_checked >= limit:
                 break
+            split_checked += 1
             if len(r) < 5:
                 problem(f"{split}: malformed row {r!r:.80}")
                 continue
@@ -198,6 +214,6 @@ def check_corpus(config: Config, limit: Optional[int] = None,
         "n_problems": n_problems,
         "problems": problems,
         "counts": {s: len(r) for s, r in splits.items()},
-        "n_vocab": len(symbol_map),
+        "n_vocab": len(corpus_vocab),
         "n_audiotype": len(audiotypes),
     }

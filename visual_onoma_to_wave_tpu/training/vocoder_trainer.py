@@ -354,6 +354,11 @@ class VocoderTrainer:
                  msd: MultiScaleDiscriminator | None = None,
                  pairs=None):
         self.cfg = cfg or VocoderTrainConfig()
+        if not 0.0 <= self.cfg.ema_decay < 1.0:
+            # decay 1.0 would freeze the EMA at the random init (and >1
+            # diverges) while still writing generator_ema artifacts
+            raise ValueError(
+                f"ema_decay must be in [0, 1), got {self.cfg.ema_decay}")
         from visual_onoma_to_wave_tpu.utils.compile_cache import (
             enable_persistent_cache)
         enable_persistent_cache()
