@@ -57,6 +57,15 @@ def init_distributed(coordinator_address: str | None = None,
     if process_id is not None:
         kwargs["process_id"] = int(process_id)
     jax.distributed.initialize(**kwargs)
+    if jax.process_count() > 1:
+        # Form the cross-process communicator NOW, while every process sits
+        # at the same point: the backend's context init exchanges keys with
+        # a hard ~30 s deadline measured from the FIRST collective, and the
+        # first collective otherwise happens only after each process builds
+        # its (possibly multi-minute, load-skewed) model/trainer stack —
+        # a loaded host then times out the slowest process's handshake.
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("init_distributed_warmup")
 
 
 def is_multiprocess() -> bool:
