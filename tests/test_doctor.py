@@ -4,6 +4,7 @@ The reference has no validation tooling — a stale/broken preprocessed dir
 fails deep inside training. The doctor must pass a healthy corpus and
 name each class of corruption."""
 import json
+import pathlib
 
 import numpy as np
 import pytest
@@ -111,3 +112,68 @@ def test_limit_is_per_split(corpus_cfg, tmp_path):
     report = check_corpus(corpus_cfg, limit=6)
     assert not report["ok"]
     assert any("missing energy" in p for p in report["problems"])
+
+
+# ---------------------------------------------------------------------------
+# formatted-stage doctor (pre-preprocessing)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def formatted_cfg(tmp_path):
+    from test_pipeline_e2e import synth_clip
+    from visual_onoma_to_wave_tpu.data import write_textgrid, write_wav
+
+    formatted = tmp_path / "formatted"
+    cfg = Config()
+    cfg = cfg.replace(
+        path=cfg.path.__class__(formatted=str(formatted), font=""),
+        dataset=cfg.dataset.__class__(extract_labels=("drum",)))
+    rng = np.random.default_rng(0)
+    (formatted / "audio" / "drum").mkdir(parents=True)
+    (formatted / "TextGrid" / "drum").mkdir(parents=True)
+    (formatted / "text" / "drum").mkdir(parents=True)
+    rows = []
+    for i, text in enumerate(["パン", "トン"]):
+        clip = f"c1_drum_00{i}_0980"
+        name = f"{clip}_w1"
+        wav, intervals = synth_clip(rng, text, [200.0, 300.0])
+        write_wav(formatted / "audio" / "drum" / f"{clip}.wav", wav, 22050)
+        write_textgrid(intervals,
+                       formatted / "TextGrid" / "drum" / f"{name}.TextGrid")
+        rows.append(f"{name}|{clip}|{text}|drum|5.0|4.0")
+    rows.append(f"c1_drum_002_0980_w2|c1_drum_002_0980|パ|drum|1.0|4.0")
+    (formatted / "text" / "drum" / "data.txt").write_text(
+        "\n".join(rows) + "\n")
+    return cfg
+
+
+def test_formatted_clean_passes(formatted_cfg):
+    from visual_onoma_to_wave_tpu.data.doctor import check_formatted
+
+    report = check_formatted(formatted_cfg)
+    assert report["ok"], report["problems"]
+    stats = report["labels"]["drum"]
+    # the low-score row is filtered (expected), not a problem
+    assert stats == {"rows": 3, "score_filtered": 1, "checked": 2}
+
+
+def test_formatted_detects_missing_and_mismatched(formatted_cfg):
+    from visual_onoma_to_wave_tpu.data.doctor import check_formatted
+
+    root = pathlib.Path(formatted_cfg.path.formatted)
+    # remove one wav; corrupt one TextGrid char count (append a bogus row
+    # whose text is longer than its TextGrid)
+    next(iter((root / "audio" / "drum").glob("*.wav"))).unlink()
+    dt = root / "text" / "drum" / "data.txt"
+    dt.write_text(dt.read_text() +
+                  "c1_drum_000_0980_w1x|c1_drum_001_0980|パンパン|drum|5.0|4.0\n")
+    # reuse clip 000's TextGrid name? row name has no TextGrid ->
+    # missing-TextGrid problem; plus malformed row
+    dt.write_text(dt.read_text() + "bad|row\n")
+
+    report = check_formatted(formatted_cfg)
+    assert not report["ok"]
+    text = "\n".join(report["problems"])
+    assert "missing wav" in text
+    assert "missing TextGrid" in text
+    assert "fields" in text

@@ -95,15 +95,19 @@ def _add_distributed_args(s):
 
 
 def cmd_doctor(args):
-    from visual_onoma_to_wave_tpu.data.doctor import check_corpus
+    from visual_onoma_to_wave_tpu.data.doctor import (
+        check_corpus, check_formatted)
     cfg = load_config(args.config)
-    symbols = None
-    if args.ckpt:
-        from visual_onoma_to_wave_tpu.data.symbols import load_symbol_map
-        symbols = load_symbol_map(args.ckpt)
-        if symbols is None:
-            raise SystemExit(f"no symbols.json under {args.ckpt}")
-    report = check_corpus(cfg, limit=args.limit, symbols=symbols)
+    if args.stage == "formatted":
+        report = check_formatted(cfg)
+    else:
+        symbols = None
+        if args.ckpt:
+            from visual_onoma_to_wave_tpu.data.symbols import load_symbol_map
+            symbols = load_symbol_map(args.ckpt)
+            if symbols is None:
+                raise SystemExit(f"no symbols.json under {args.ckpt}")
+        report = check_corpus(cfg, limit=args.limit, symbols=symbols)
     print(json.dumps(report, ensure_ascii=False, indent=2))
     if not report["ok"]:
         raise SystemExit(1)
@@ -376,6 +380,12 @@ def main(argv=None):
                    help="checkpoint dir: also check every row is encodable "
                         "by ITS saved symbols.json (catches a corpus "
                         "regenerated after training)")
+    s.add_argument("--stage", default="preprocessed",
+                   choices=["preprocessed", "formatted"],
+                   help="formatted = validate the stage-01/02 outputs "
+                        "(data.txt rows, TextGrids, wavs) BEFORE "
+                        "preprocessing — rows the preprocessor would "
+                        "silently skip become visible")
     s.set_defaults(fn=cmd_doctor)
 
     s = sub.add_parser("train", help="train the acoustic model (04_train)")

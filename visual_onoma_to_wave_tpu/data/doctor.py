@@ -217,3 +217,97 @@ def check_corpus(config: Config, limit: Optional[int] = None,
         "n_vocab": len(corpus_vocab),
         "n_audiotype": len(audiotypes),
     }
+
+
+def check_formatted(config: Config, max_problems: int = 50) -> dict:
+    """Validate the FORMATTED corpus (stage 01/02 outputs) before
+    preprocessing: per-label data.txt rows well-formed, and every row that
+    passes the score borders has its TextGrid and wav on disk with a
+    parseable alignment tier.
+
+    The preprocessor (like the reference, preprocessor.py:366-396) SKIPS
+    such rows silently and just counts them — this makes the skips visible
+    up front and separates the expected ones (score filters) from the
+    suspicious ones (missing/corrupt files)."""
+    from visual_onoma_to_wave_tpu.data.labels import (
+        SILENCE_LABELS, read_textgrid)
+
+    root = pathlib.Path(config.path.formatted)
+    problems: list[str] = []
+    n_problems = 0
+
+    def problem(msg: str) -> None:
+        nonlocal n_problems
+        n_problems += 1
+        if len(problems) < max_problems:
+            problems.append(msg)
+
+    labels = list(config.dataset.extract_labels) or sorted(
+        p.name for p in (root / "text").glob("*") if p.is_dir())
+    if not labels:
+        problem(f"no labels under {root / 'text'}")
+    ds = config.dataset
+    per_label = {}
+    for label in labels:
+        stats = {"rows": 0, "score_filtered": 0, "checked": 0}
+        per_label[label] = stats
+        dt = root / "text" / label / "data.txt"
+        if not dt.exists():
+            problem(f"{label}: missing text/{label}/data.txt")
+            continue
+        for ln, line in enumerate(dt.read_text(encoding="utf-8")
+                                  .splitlines(), 1):
+            if not line.strip():
+                continue
+            stats["rows"] += 1
+            fields = line.split("|")
+            if len(fields) != 6:
+                problem(f"{label}:data.txt:{ln}: {len(fields)} fields, "
+                        f"want 6 (name|audio|text|label|self|others)")
+                continue
+            name, audio_base, text, _lab, conf, acc = fields
+            try:
+                passes = (float(conf) >= ds.confidence_score_border
+                          and float(acc) >= ds.acceptance_score_border)
+            except ValueError:
+                problem(f"{label}:{name}: non-numeric scores "
+                        f"{conf!r}/{acc!r}")
+                continue
+            if not passes:
+                stats["score_filtered"] += 1
+                continue
+            stats["checked"] += 1
+            tg = root / "TextGrid" / label / f"{name}.TextGrid"
+            wav = root / "audio" / label / f"{audio_base}.wav"
+            if not tg.exists():
+                problem(f"{label}:{name}: missing TextGrid (row passes "
+                        f"score borders but will be silently skipped)")
+            else:
+                try:
+                    intervals = read_textgrid(tg)
+                    chars = [iv for iv in intervals
+                             if iv.text not in SILENCE_LABELS]
+                    if len(chars) != len(text):
+                        problem(f"{label}:{name}: TextGrid has "
+                                f"{len(chars)} character intervals for "
+                                f"{len(text)}-char text {text!r}")
+                except Exception as e:
+                    problem(f"{label}:{name}: unparseable TextGrid: {e}")
+            if not wav.exists():
+                problem(f"{label}:{name}: missing wav "
+                        f"audio/{label}/{audio_base}.wav")
+            else:
+                import wave as wavmod
+                try:
+                    with wavmod.open(str(wav)) as w:
+                        if w.getnframes() <= 0:
+                            problem(f"{label}:{name}: empty wav")
+                except Exception as e:
+                    problem(f"{label}:{name}: unreadable wav: {e}")
+
+    return {
+        "ok": n_problems == 0,
+        "n_problems": n_problems,
+        "problems": problems,
+        "labels": per_label,
+    }
