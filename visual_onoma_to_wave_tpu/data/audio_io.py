@@ -28,13 +28,21 @@ def read_raw_pcm16(path: str | pathlib.Path, big_endian: bool = False) -> np.nda
 
 
 def read_wav(path: str | pathlib.Path) -> tuple[np.ndarray, int]:
-    """Read a PCM wav -> (float32 mono in [-1, 1], sample_rate)."""
-    with wave.open(str(path), "rb") as w:
-        sr = w.getframerate()
-        n = w.getnframes()
-        ch = w.getnchannels()
-        width = w.getsampwidth()
-        raw = w.readframes(n)
+    """Read a wav -> (float32 mono in [-1, 1], sample_rate).
+
+    PCM via the stdlib; IEEE-float wavs (format tag 3 — what torchaudio/
+    soundfile/scipy write by default for float arrays, e.g. the
+    reference's own synthesized sample/tmp.wav) via a minimal RIFF parser
+    fallback, since stdlib `wave` rejects them."""
+    try:
+        with wave.open(str(path), "rb") as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(n)
+    except wave.Error:
+        return _read_wav_riff(path)
     if width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 4:
@@ -45,6 +53,50 @@ def read_wav(path: str | pathlib.Path) -> tuple[np.ndarray, int]:
         raise ValueError(f"unsupported sample width {width}")
     if ch > 1:
         x = x.reshape(-1, ch).mean(axis=1)
+    return x, sr
+
+
+def _read_wav_riff(path: str | pathlib.Path) -> tuple[np.ndarray, int]:
+    """Minimal RIFF/WAVE parser for the formats stdlib `wave` rejects:
+    IEEE float (tag 3) and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping
+    PCM/float."""
+    import struct
+
+    data = pathlib.Path(path).read_bytes()
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+    pos, fmt, payload = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or payload is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    tag, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag == 0xFFFE and len(fmt) >= 26:  # extensible: real tag in GUID
+        tag = struct.unpack("<H", fmt[24:26])[0]
+    if tag == 3:  # IEEE float
+        x = np.frombuffer(payload, "<f4" if bits == 32 else "<f8")
+        x = x.astype(np.float32)
+    elif tag == 1:  # PCM
+        if bits == 16:
+            x = np.frombuffer(payload, "<i2").astype(np.float32) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(payload, "<i4").astype(np.float32) / 2147483648.0
+        elif bits == 8:
+            x = (np.frombuffer(payload, np.uint8).astype(np.float32)
+                 - 128.0) / 128.0
+        else:
+            raise ValueError(f"{path}: unsupported PCM bit depth {bits}")
+    else:
+        raise ValueError(f"{path}: unsupported wav format tag {tag}")
+    if ch > 1:
+        x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(axis=1)
     return x, sr
 
 
