@@ -1,8 +1,8 @@
 """iSTFT-head vocoder families vs HiFi-GAN V1 on TPU.
 
 Times the full generator forwards (same serving shape as bench.py:
-B x T mel -> B x T*256 samples) for HiFi-GAN V1, iSTFTNet C8C8I and the
-mel-rate preset. The C=64/32 tail the iSTFT head removes is the measured
+B x T mel -> B x T*256 samples) for HiFi-GAN V1, iSTFTNet C8C8I, the
+mel-rate preset and Vocos (ConvNeXt trunk, models/vocos.py). The C=64/32 tail the iSTFT head removes is the measured
 "small-channel wall" (docs/PERF.md) — this bench quantifies what removing
 it architecturally buys.
 
@@ -40,10 +40,13 @@ def main() -> int:
     mel = jnp.asarray(rng.normal(-4, 2, (B, T, 80)).astype(np.float32))
     audio_sec = B * T * 256 / 22050
 
+    from visual_onoma_to_wave_tpu.models.vocos import VocosGenerator
+
     gens = {
         "hifigan_v1": HiFiGANGenerator(dtype=dtype),
         "istftnet_c8c8i": build_istftnet("c8c8i", dtype=dtype),
         "istftnet_melrate": build_istftnet("melrate", dtype=dtype),
+        "vocos": VocosGenerator(dtype=dtype),
     }
     if "--presets" in sys.argv:  # official V2/V3 size presets too
         from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder

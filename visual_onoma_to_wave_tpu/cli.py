@@ -502,12 +502,13 @@ def main(argv=None):
                    help="resume from this checkpoint step (-1 = latest)")
     s.add_argument("--family", default="hifigan",
                    choices=["hifigan", "hifigan-v2", "hifigan-v3",
-                            "istftnet", "istftnet-mel"],
+                            "istftnet", "istftnet-mel", "vocos"],
                    help="generator family: hifigan (V1, reference parity), "
                         "hifigan-v2/-v3 (official smaller presets), "
                         "istftnet (C8C8I; drops the MXU-starved small-"
                         "channel tail), istftnet-mel (mel-rate trunk + "
-                        "full iSTFT head)")
+                        "full iSTFT head), vocos (ConvNeXt trunk at mel "
+                        "rate + iSTFT head)")
     s.add_argument("--bf16", action="store_true",
                    help="mixed-precision GAN step (bf16 conv compute, f32 "
                         "params/losses/DSP): ~1.25x faster on v5e")

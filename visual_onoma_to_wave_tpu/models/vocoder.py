@@ -28,7 +28,9 @@ def get_vocoder(model: str = "HiFi-GAN", *, dtype=jnp.float32, **kwargs):
 
     Families: HiFi-GAN (reference parity), MelGAN (reference's torch.hub
     alternative), iSTFTNet / iSTFTNet-mel (beyond-reference iSTFT-head
-    generators, models/istftnet.py; self-trained via `cli train-vocoder`).
+    generators, models/istftnet.py) and Vocos (ConvNeXt trunk at mel rate,
+    models/vocos.py) — the latter three self-trained via
+    `cli train-vocoder`.
     """
     name = model.lower().replace("-", "").replace("_", "")
     if name == "melgan":
@@ -43,6 +45,9 @@ def get_vocoder(model: str = "HiFi-GAN", *, dtype=jnp.float32, **kwargs):
         from visual_onoma_to_wave_tpu.models.istftnet import build_istftnet
         preset = "melrate" if name == "istftnetmel" else "c8c8i"
         return build_istftnet(preset, dtype=dtype, **kwargs)
+    if name == "vocos":
+        from visual_onoma_to_wave_tpu.models.vocos import VocosGenerator
+        return VocosGenerator(dtype=dtype, **kwargs)
     raise ValueError(f"unknown vocoder family: {model!r}")
 
 

@@ -397,8 +397,9 @@ class VocoderTrainer:
         # generator output length must equal the segment for the GAN losses
         # (total_upsample covers iSTFT-head families whose deterministic
         # head upsamples beyond prod(upsample_rates); models/istftnet.py)
-        up = int(getattr(self.gen, "total_upsample",
-                         np.prod(self.gen.upsample_rates)))
+        up = int(self.gen.total_upsample
+                 if hasattr(self.gen, "total_upsample")
+                 else np.prod(self.gen.upsample_rates))
         if up != c.hop_length:
             raise ValueError(
                 f"generator upsampling {up} != hop_length {c.hop_length}")
