@@ -231,6 +231,33 @@ def _full(model, variables, gen, gen_params, batch, B, MAX_MEL, HOP, SR):
                       "unit": "x_realtime_per_chip",
                       "vs_baseline": round(rtf / 50.0, 3)}))
 
+    # --- combined synthesis with the Vocos generator ----------------------
+    # (fastest family measured: ConvNeXt mel-rate trunk, models/vocos.py)
+    from visual_onoma_to_wave_tpu.models.vocos import VocosGenerator
+    vgen = VocosGenerator(dtype=gen.dtype)
+    vgen_params = jax.jit(vgen.init)(jax.random.PRNGKey(4),
+                                     jnp.zeros((1, 16, 80), jnp.float32))
+
+    @jax.jit
+    def synth_vocos(params, batch_stats, vgen_params, batch, salt):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            audiotypes=batch["audiotypes"], texts=batch["texts"],
+            src_lens=batch["src_lens"],
+            image_cells=batch["image_cells"] + salt,
+            use_image=True, deterministic=True)
+        wav = vgen.apply(vgen_params, out["postnet_mel"])
+        return jnp.sum(wav[:, ::4097])
+
+    dt = _timed(synth_vocos,
+                lambda i: (params, batch_stats, vgen_params, batch,
+                           jnp.float32(1e-3 * i)), iters=5)
+    rtf = (B * MAX_MEL * HOP / SR) / dt
+    print(json.dumps({"metric": "combined_synthesis_rtf_vocos",
+                      "value": round(rtf, 2),
+                      "unit": "x_realtime_per_chip",
+                      "vs_baseline": round(rtf / 50.0, 3)}))
+
     # --- preprocessing DSP: clips/sec (Pallas frontend on TPU) -----------
     from visual_onoma_to_wave_tpu.ops.pallas_mel import pallas_clip_features
     from visual_onoma_to_wave_tpu.ops.stft import (

@@ -58,19 +58,25 @@ DEMO_MODEL = {
     "vocoder_kwargs": {"upsample_initial_channel": 128},
 }
 
-# alternate demo vocoder: the beyond-reference iSTFT-head family
-# (models/istftnet.py, mel-rate preset) at demo size — committed as
-# vocoder_istftnet_mel/ + config_istftnet.json so the fast family works
-# out of the box too
-ALT_VOCODER = {"family": "iSTFTNet-mel",
-               "kwargs": {"upsample_initial_channel": 64}}
+# alternate demo vocoders: the beyond-reference fast families at demo
+# size — committed as vocoder_<tag>/ + config_<tag>.json so they work out
+# of the box too (same acoustic checkpoint; swap the two paths)
+ALT_VOCODERS = [
+    {"family": "iSTFTNet-mel",
+     "kwargs": {"upsample_initial_channel": 64},
+     "params_dir": "vocoder_istftnet_mel",
+     "config_name": "config_istftnet.json"},
+    {"family": "Vocos",
+     "kwargs": {"dim": 128, "intermediate_dim": 256, "num_layers": 4},
+     "params_dir": "vocoder_vocos",
+     "config_name": "config_vocos.json"},
+]
 
 
-def train_alt_vocoder(work: pathlib.Path, out: pathlib.Path,
+def train_alt_vocoder(work: pathlib.Path, out: pathlib.Path, spec: dict,
                       steps: int = 2500) -> None:
-    """Train + export the alternate iSTFT-head demo vocoder. Requires the
-    formatted corpus under `work` and the exported demo (config.json) under
-    `out`."""
+    """Train + export one alternate demo vocoder. Requires the formatted
+    corpus under `work` and the exported demo (config.json) under `out`."""
     from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
     from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
         VocoderTrainConfig, VocoderTrainer, load_wav_dir)
@@ -80,16 +86,16 @@ def train_alt_vocoder(work: pathlib.Path, out: pathlib.Path,
                               save_every=10 ** 9, log_every=200)
     clips = load_wav_dir(work / "formatted" / "audio",
                          target_sr=vcfg.sampling_rate)
-    gen = get_vocoder(ALT_VOCODER["family"], **ALT_VOCODER["kwargs"])
+    gen = get_vocoder(spec["family"], **spec["kwargs"])
     vt = VocoderTrainer(clips, vcfg, gen=gen,
-                        ckpt_dir=work / "out" / "voc_alt_ckpt")
+                        ckpt_dir=work / "out" / f"voc_{spec['params_dir']}")
     vt.train()
-    save_params(out / "vocoder_istftnet_mel", vt.state.gen_params)
+    save_params(out / spec["params_dir"], vt.state.gen_params)
 
     cfg = json.loads((out / "config.json").read_text())
-    cfg["model"]["vocoder_model"] = ALT_VOCODER["family"]
-    cfg["model"]["vocoder_kwargs"] = dict(ALT_VOCODER["kwargs"])
-    (out / "config_istftnet.json").write_text(json.dumps(cfg, indent=1))
+    cfg["model"]["vocoder_model"] = spec["family"]
+    cfg["model"]["vocoder_kwargs"] = dict(spec["kwargs"])
+    (out / spec["config_name"]).write_text(json.dumps(cfg, indent=1))
 
 
 def _pitch(ch: str) -> float:
@@ -178,12 +184,39 @@ def work_config(root: pathlib.Path, ono_root, steps: int) -> dict:
     }
 
 
+def _smoke_alt(out: pathlib.Path, alt_specs: list[dict]) -> None:
+    """Serve one utterance through each alternate vocoder's config via the
+    standalone checkpoint entry (what a fresh clone runs)."""
+    from visual_onoma_to_wave_tpu.cli import load_config
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+
+    for spec in alt_specs:
+        alt = Synthesizer.from_checkpoint(
+            load_config(str(out / spec["config_name"])),
+            acoustic=str(out / "acoustic"),
+            vocoder=str(out / spec["params_dir"]))
+        alt_res = alt.synthesize("パンパン", CLASSES[0])
+        if alt_res.wav is not None:
+            assert np.isfinite(alt_res.wav).all()
+            print(f"alt vocoder {spec['family']} ok "
+                  f"({alt_res.mel_len} mel frames)")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--voc-steps", type=int, default=2000)
     ap.add_argument("--alt-voc-steps", type=int, default=2000,
-                    help="iSTFT-head demo vocoder steps (0 skips it)")
+                    help="per-family alternate demo vocoder steps "
+                         "(0 skips them)")
+    ap.add_argument("--alt-families", default=None,
+                    help="comma-separated ALT_VOCODERS families to train "
+                         "(default: all)")
+    ap.add_argument("--only-alt", action="store_true",
+                    help="retrain only the alternate vocoders against an "
+                         "EXISTING demo export in --out (rebuilds the "
+                         "deterministic corpus + `cli format`, skips "
+                         "preprocess/acoustic/base-vocoder)")
     ap.add_argument("--n-per-class", type=int, default=60)
     ap.add_argument("--work", default="/tmp/demo_build")
     ap.add_argument("--out", default=str(
@@ -192,6 +225,10 @@ def main() -> int:
 
     from visual_onoma_to_wave_tpu.cli import main as cli_main
 
+    alt_specs = [s for s in ALT_VOCODERS
+                 if args.alt_families is None
+                 or s["family"] in args.alt_families.split(",")]
+
     work = pathlib.Path(args.work)
     shutil.rmtree(work, ignore_errors=True)
     work.mkdir(parents=True)
@@ -199,6 +236,21 @@ def main() -> int:
     cfg = work_config(work, ono_root, args.steps)
     cfg_path = work / "cfg.json"
     cfg_path.write_text(json.dumps(cfg, indent=1))
+
+    if args.only_alt:
+        out = pathlib.Path(args.out)
+        if not (out / "config.json").exists():
+            raise SystemExit(f"--only-alt needs an existing demo export "
+                             f"(no config.json in {out})")
+        print("== format (corpus for alt vocoders) ==", flush=True)
+        rc = cli_main(["format", str(cfg_path), str(raw_root)])
+        if rc not in (0, None):
+            raise RuntimeError(f"cli format failed with rc={rc}")
+        for spec in alt_specs:
+            print(f"== train alt vocoder ({spec['family']}) ==", flush=True)
+            train_alt_vocoder(work, out, spec, steps=args.alt_voc_steps)
+        _smoke_alt(out, alt_specs)
+        return 0
 
     print("== format / prepare-tg / preprocess ==", flush=True)
     for argv in (["format", str(cfg_path), str(raw_root)],
@@ -269,22 +321,16 @@ def main() -> int:
     (out / "config.json").write_text(json.dumps(demo_cfg, indent=1))
 
     if args.alt_voc_steps > 0:
-        print("== train alt vocoder (iSTFT head) ==", flush=True)
-        train_alt_vocoder(work, out, steps=args.alt_voc_steps)
+        for spec in alt_specs:
+            print(f"== train alt vocoder ({spec['family']}) ==", flush=True)
+            train_alt_vocoder(work, out, spec, steps=args.alt_voc_steps)
 
     # smoke-test through the standalone serving entry + write a sample
     from visual_onoma_to_wave_tpu.cli import load_config
     from visual_onoma_to_wave_tpu.data.audio_io import write_wav
     from visual_onoma_to_wave_tpu.synthesis import Synthesizer
     if args.alt_voc_steps > 0:
-        alt = Synthesizer.from_checkpoint(
-            load_config(str(out / "config_istftnet.json")),
-            acoustic=str(out / "acoustic"),
-            vocoder=str(out / "vocoder_istftnet_mel"))
-        alt_res = alt.synthesize("パンパン", CLASSES[0])
-        if alt_res.wav is not None:
-            assert np.isfinite(alt_res.wav).all()
-            print(f"alt vocoder ok ({alt_res.mel_len} mel frames)")
+        _smoke_alt(out, alt_specs)
     synth = Synthesizer.from_checkpoint(
         load_config(str(out / "config.json")),
         acoustic=str(out / "acoustic"), vocoder=str(out / "vocoder"))

@@ -311,6 +311,54 @@ def test_synthesizer_with_melgan_vocoder(tiny_env):
     trainer.ckpt.close()
 
 
+def test_synthesizer_with_vocos_vocoder(tiny_env):
+    """model.vocoder_model = Vocos (models/vocos.py): the fused executable
+    serves the ConvNeXt family with NO mel-domain conversion (it is trained
+    in the acoustic model's natural-log domain, like HiFi-GAN) — its
+    waveform must equal the generator applied to postnet_mel directly."""
+    import jax
+    import jax.numpy as jnp
+    from visual_onoma_to_wave_tpu.models.vocos import VocosGenerator
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+    from visual_onoma_to_wave_tpu.training.trainer import Trainer
+
+    cfg = tiny_env.replace(
+        model=tiny_env.model.__class__(
+            transformer=tiny_env.model.transformer,
+            visual_feature_extractor=tiny_env.model.visual_feature_extractor,
+            max_seq_len=tiny_env.model.max_seq_len,
+            vocoder_model="Vocos",
+            vocoder_kwargs={"dim": 16, "intermediate_dim": 32,
+                            "num_layers": 2}))
+    trainer = Trainer(cfg, use_mesh=False)
+    from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
+    gen = get_vocoder(cfg.model.vocoder_model, **dict(cfg.model.vocoder_kwargs))
+    assert isinstance(gen, VocosGenerator) and gen.dim == 16
+    gp = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 80), jnp.float32))
+    synth = Synthesizer(cfg, trainer.model, trainer.state, trainer.metadata,
+                        trainer.train_ds.symbol_map, gp)  # module from config
+    res = synth.synthesize("パンパン", "drum")
+    assert isinstance(synth._vocoder_module(), VocosGenerator)
+    assert res.wav is not None
+    assert res.wav.shape[0] == res.mel.shape[0] * 256
+    assert np.isfinite(res.wav).all()
+    text, n = "パンパン", 4
+    ids = np.zeros((1, synth.text_bucket), np.int32)
+    ids[0, :n] = synth._encode(text)
+    batch = {
+        "audiotypes": jnp.asarray([0], jnp.int32),
+        "texts": jnp.asarray(ids),
+        "src_lens": jnp.asarray([n], jnp.int32),
+        "image_cells": jnp.asarray(
+            synth._render_cells(text, [1.0] * n)[None]),
+    }
+    out = synth._get_fused_step()(synth.state, gp, batch)
+    ref = gen.apply(gp, np.asarray(out["postnet_mel"]))
+    np.testing.assert_allclose(np.asarray(out["wav"]), np.asarray(ref),
+                               atol=1e-5)
+    trainer.ckpt.close()
+
+
 def test_examples_demo_script(tiny_env, tmp_path, monkeypatch):
     """examples/demo.py (the prediction.ipynb equivalent) runs end-to-end
     from a config file and writes the visual-onomatopoeia + mel plot."""
