@@ -67,7 +67,7 @@ ALT_VOCODERS = [
      "params_dir": "vocoder_istftnet_mel",
      "config_name": "config_istftnet.json"},
     {"family": "Vocos",
-     "kwargs": {"dim": 128, "intermediate_dim": 256, "num_layers": 4},
+     "kwargs": {"dim": 128, "intermediate_dim": 384, "num_layers": 4},
      "params_dir": "vocoder_vocos",
      "config_name": "config_vocos.json"},
 ]

@@ -55,24 +55,27 @@ def test_demo_checkpoint_duration_control(synth):
     assert long.mel_len > short.mel_len
 
 
-@pytest.mark.skipif(
-    not (DEMO / "config_istftnet.json").exists(),
-    reason="alt iSTFT-head demo vocoder not built")
-def test_demo_checkpoint_alt_istft_vocoder():
-    """The committed alternate vocoder (iSTFTNet-mel family) serves the same
-    acoustic checkpoint through config_istftnet.json."""
+@pytest.mark.parametrize("cfg_name,voc_dir,family", [
+    ("config_istftnet.json", "vocoder_istftnet_mel", "iSTFTNet-mel"),
+    ("config_vocos.json", "vocoder_vocos", "Vocos"),
+])
+def test_demo_checkpoint_alt_vocoder(cfg_name, voc_dir, family):
+    """Each committed alternate vocoder (the fast beyond-reference families)
+    serves the same acoustic checkpoint through its own config."""
     from visual_onoma_to_wave_tpu.cli import load_config
     from visual_onoma_to_wave_tpu.synthesis import Synthesizer
 
-    cfg = load_config(str(DEMO / "config_istftnet.json"))
-    assert cfg.model.vocoder_model == "iSTFTNet-mel"
+    if not (DEMO / cfg_name).exists():
+        pytest.skip(f"alt demo vocoder {family} not built")
+    cfg = load_config(str(DEMO / cfg_name))
+    assert cfg.model.vocoder_model == family
     cfg = cfg.replace(path=cfg.path.__class__(
         corpus="", formatted="", preprocessed=str(DEMO / "preprocessed"),
         font="", ckpt="/tmp/vow_demo_t/ckpt", log="/tmp/vow_demo_t/log",
         result="/tmp/vow_demo_t/result"))
     synth = Synthesizer.from_checkpoint(
         cfg, acoustic=str(DEMO / "acoustic"),
-        vocoder=str(DEMO / "vocoder_istftnet_mel"))
+        vocoder=str(DEMO / voc_dir))
     meta = json.loads((DEMO / "preprocessed" / "audiotype.json").read_text())
     res = synth.synthesize("パンパン", next(iter(meta)))
     assert res.wav is not None and res.mel_len >= 4
