@@ -88,6 +88,14 @@ def main():
     HOP, SR = 256, 22050
 
     cfg = Config()
+    if "--acoustic-bf16" in sys.argv:
+        # the acoustic model's bf16 compute path (train.compute_dtype;
+        # LayerNorm/softmax/variance heads stay f32) applied to serving —
+        # the headline keeps the f32 acoustic for baseline comparability
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           compute_dtype="bfloat16"))
     model = VTTS.from_config(cfg, n_vocab=64, max_mel_len=MAX_MEL)
     rng = np.random.default_rng(0)
     batch = {
