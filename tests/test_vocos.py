@@ -88,6 +88,25 @@ def test_registry_routing_and_overrides():
     assert list(lens) == [2560, 4096]
 
 
+def test_bf16_trunk_close_to_f32():
+    """Mixed-precision serving config: bf16 trunk compute (LayerNorm stats
+    and the iSTFT head stay f32) must track the f32 forward to bf16
+    resolution, and the GELU form flag must change the computation."""
+    mel = jnp.asarray(np.random.default_rng(4).normal(-1, 1, (2, 20, 80)),
+                      jnp.float32)
+    g32 = _tiny()
+    params = g32.init(jax.random.PRNGKey(0), mel)
+    w32 = np.asarray(g32.apply(params, mel))
+    w16 = np.asarray(_tiny(dtype=jnp.bfloat16).apply(params, mel))
+    assert w16.dtype == np.float32  # head math is f32 regardless of trunk
+    scale = max(np.abs(w32).max(), 1e-3)
+    assert np.abs(w16 - w32).max() / scale < 0.1  # bf16 ~2-3 digits
+    # erf vs tanh GELU: same params, close but not identical outputs
+    w_erf = np.asarray(_tiny(gelu_approximate=False).apply(params, mel))
+    assert np.abs(w_erf - w32).max() > 0
+    assert np.abs(w_erf - w32).max() / scale < 0.05
+
+
 def test_gan_training_step_updates_vocos():
     from visual_onoma_to_wave_tpu.models.hifigan_disc import (
         MultiPeriodDiscriminator, MultiScaleDiscriminator)
