@@ -88,6 +88,8 @@ class ConvNeXtBlock(nn.Module):
     layer_scale_init: float
     kernel_size: int = 7
     gelu_approximate: bool = True
+    fused_kernel: bool = False  # serve the whole block as one Pallas TPU
+    #   kernel (ops/pallas_convnext.py) — inference-only (no VJP), TPU-only
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -105,6 +107,16 @@ class ConvNeXtBlock(nn.Module):
         gamma = self.param(
             "gamma", nn.initializers.constant(self.layer_scale_init),
             (self.dim,))
+
+        if self.fused_kernel:
+            if not self.gelu_approximate:
+                raise ValueError(
+                    "fused_kernel implements the tanh GELU only "
+                    "(set gelu_approximate=True)")
+            from visual_onoma_to_wave_tpu.ops.pallas_convnext import (
+                convnext_block)
+            return convnext_block(x.astype(self.dtype), dw, db, ls, lb,
+                                  w1, b1, w2, b2, gamma)
 
         h = _depthwise_conv1d(x, dw, db, dtype=self.dtype)
         h = _layer_norm(h, ls, lb)
@@ -131,6 +143,9 @@ class VocosGenerator(nn.Module):
     #   keep) and the erf form measures 1.27x slower on v5e (37.7 vs
     #   29.7 ms at the serving shape — docs/PERF.md); quality at matched
     #   budget is unchanged. Set False for the published form.
+    fused_kernel: bool = False  # run each ConvNeXt block as one fused
+    #   Pallas TPU kernel (ops/pallas_convnext.py): inference-only,
+    #   TPU-only, needs T%16==0 and dim/intermediate_dim%128==0
     dtype: jnp.dtype = jnp.float32  # trunk compute precision; head is f32
 
     @property
@@ -162,6 +177,7 @@ class VocosGenerator(nn.Module):
                 self.dim, self.intermediate_dim,
                 layer_scale_init=1.0 / self.num_layers,
                 gelu_approximate=self.gelu_approximate,
+                fused_kernel=self.fused_kernel,
                 dtype=self.dtype, name=f"block_{i}")(x)
 
         sf = self.param("norm_out_scale", nn.initializers.ones, (self.dim,))
