@@ -98,7 +98,31 @@ def main() -> int:
         wav = gen.apply(params, m + salt)
         return jnp.sum(jnp.abs(wav[:, ::1023]).astype(jnp.float32))
 
-    for tag, fn in (("vocos_xla", fwd), ("vocos_fused", ffwd)):
+    from visual_onoma_to_wave_tpu.models.vocos import apply_fused
+
+    @jax.jit
+    def mfwd(params, m, salt):
+        wav = apply_fused(gen, params, m + salt)
+        return jnp.sum(jnp.abs(wav[:, ::1023]).astype(jnp.float32))
+
+    @jax.jit
+    def mfwd_high(params, m, salt):
+        wav = apply_fused(gen, params, m + salt,
+                          head_precision=jax.lax.Precision.HIGH)
+        return jnp.sum(jnp.abs(wav[:, ::1023]).astype(jnp.float32))
+
+    hgen = VocosGenerator(dtype=dtype, fused_kernel=True,
+                          head_precision="high")
+
+    @jax.jit
+    def hfwd(params, m, salt, gen=hgen):
+        wav = gen.apply(params, m + salt)
+        return jnp.sum(jnp.abs(wav[:, ::1023]).astype(jnp.float32))
+
+    for tag, fn in (("vocos_xla", fwd), ("vocos_fused", ffwd),
+                    ("vocos_fused_headHIGH", hfwd),
+                    ("vocos_megakernel", mfwd),
+                    ("vocos_megakernel_headHIGH", mfwd_high)):
         dt = timed(fn, lambda i: (params, mel, jnp.float32(1e-3 * i)))
         print(json.dumps({"variant": tag, "ms": round(dt * 1e3, 2),
                           "rtf": round(audio_sec / dt, 1)}), flush=True)

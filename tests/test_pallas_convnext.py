@@ -76,3 +76,44 @@ def test_shape_constraints():
     blk, p, x = _params(4)
     with pytest.raises(ValueError, match="T%16"):
         _kernel_out(p, x[:, :20])  # T=20 not a multiple of 16
+
+
+def test_trunk_megakernel_parity():
+    """convnext_trunk (all blocks in one kernel, weight streaming) equals
+    L sequential blocks."""
+    from visual_onoma_to_wave_tpu.ops.pallas_convnext import convnext_trunk
+
+    L, T, C, M = 3, 32, 128, 256
+    blk = ConvNeXtBlock(dim=C, intermediate_dim=M, layer_scale_init=0.3)
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2, T, C)), jnp.float32)
+    ps = [blk.init(jax.random.PRNGKey(10 + i), x)["params"]
+          for i in range(L)]
+    ref = x
+    for p in ps:
+        ref = blk.apply({"params": p}, ref)
+    stack = lambda k: jnp.stack([p[k] for p in ps])
+    out = convnext_trunk(
+        x, stack("dwconv_w"), stack("dwconv_b"), stack("norm_scale"),
+        stack("norm_bias"), stack("pw1_w"), stack("pw1_b"),
+        stack("pw2_w"), stack("pw2_b"), stack("gamma"), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=5e-5)
+
+
+def test_apply_fused_full_generator_parity():
+    """models/vocos.py::apply_fused == gen.apply for f32 and bf16."""
+    from visual_onoma_to_wave_tpu.models.vocos import (
+        VocosGenerator, apply_fused)
+
+    mel = jnp.asarray(
+        np.random.default_rng(6).normal(-1, 1, (2, 32, 80)), jnp.float32)
+    for dtype, tol in ((jnp.float32, 5e-5), (jnp.bfloat16, 0.03)):
+        gen = VocosGenerator(dim=128, intermediate_dim=256, num_layers=2,
+                             dtype=dtype)
+        variables = gen.init(jax.random.PRNGKey(0), mel)
+        ref = np.asarray(gen.apply(variables, mel), np.float32)
+        out = np.asarray(apply_fused(gen, variables, mel, interpret=True),
+                         np.float32)
+        scale = max(np.abs(ref).max(), 1e-3)
+        assert np.abs(out - ref).max() / scale < tol, dtype

@@ -146,6 +146,11 @@ class VocosGenerator(nn.Module):
     fused_kernel: bool = False  # run each ConvNeXt block as one fused
     #   Pallas TPU kernel (ops/pallas_convnext.py): inference-only,
     #   TPU-only, needs T%16==0 and dim/intermediate_dim%128==0
+    head_precision: str | None = None  # iSTFT basis matmul precision:
+    #   None = HIGHEST (f32-exact, the tested default); "high" = bf16x3,
+    #   1.4e-5 rel (-97 dB, below the 16-bit floor) and ~2 ms faster at
+    #   the serving shape (docs/PERF.md) — JSON-configurable via
+    #   model.vocoder_kwargs
     dtype: jnp.dtype = jnp.float32  # trunk compute precision; head is f32
 
     @property
@@ -192,7 +197,10 @@ class VocosGenerator(nn.Module):
         mag = jnp.exp(jnp.minimum(logmag, math.log(_MAX_MAG)))
         frames_ri = jnp.concatenate(
             [mag * jnp.cos(phase), mag * jnp.sin(phase)], axis=-1)
-        return istft_overlap_add(frames_ri, self.istft_n_fft)
+        precision = (None if self.head_precision is None
+                     else jax.lax.Precision[self.head_precision.upper()])
+        return istft_overlap_add(frames_ri, self.istft_n_fft,
+                                 precision=precision)
 
     def receptive_halo_frames(self) -> int:
         """One-sided receptive field in input mel frames (sample-exact
@@ -207,3 +215,52 @@ class VocosGenerator(nn.Module):
         halo += (self.embed_kernel_size - 1) // 2
         halo += self.num_layers * 3  # depthwise k=7 per block
         return halo
+
+def apply_fused(gen: VocosGenerator, variables, mel: jnp.ndarray,
+                head_precision=None, interpret: bool = False) -> jnp.ndarray:
+    """Inference-only forward equivalent to `gen.apply(variables, mel)`
+    with the WHOLE ConvNeXt trunk as one Pallas kernel
+    (ops/pallas_convnext.py::convnext_trunk): the activation stays
+    VMEM-resident across all blocks and the pointwise weights stream from
+    HBM one block ahead. MEASURED NEGATIVE at the serving shape (26.6 ms
+    vs 25.5 for the per-block kernel, docs/PERF.md): at B=128 the
+    re-streamed weights total 3.2 GB of HBM traffic vs the per-block
+    design's 1.07 GB of activation round-trips — weights-resident wins
+    whenever B x activation < L x weights. Kept as the measured design
+    point; serve with VocosGenerator(fused_kernel=True,
+    head_precision="high") instead. TPU-only (interpret=True for CPU
+    tests); no VJP — training uses gen.apply. head_precision forwards to
+    istft_overlap_add (None = HIGHEST; HIGH is the measured-inaudible
+    fast knob)."""
+    from visual_onoma_to_wave_tpu.ops.pallas_convnext import convnext_trunk
+
+    if not gen.gelu_approximate:
+        raise ValueError("apply_fused implements the tanh GELU only "
+                         "(set gelu_approximate=True)")
+    P = variables["params"]
+    dt = gen.dtype
+    pad = (gen.embed_kernel_size - 1) // 2
+    x = jax.lax.conv_general_dilated(
+        mel.astype(dt), P["embed_w"].astype(dt), window_strides=(1,),
+        padding=[(pad, pad)],
+        dimension_numbers=("NHC", "HIO", "NHC")).astype(dt)
+    x = x + P["embed_b"].astype(dt)
+    x = _layer_norm(x, P["norm_in_scale"], P["norm_in_bias"])
+
+    L = gen.num_layers
+    stack = lambda k: jnp.stack([P[f"block_{i}"][k] for i in range(L)])
+    x = convnext_trunk(
+        x.astype(dt), stack("dwconv_w"), stack("dwconv_b"),
+        stack("norm_scale"), stack("norm_bias"), stack("pw1_w"),
+        stack("pw1_b"), stack("pw2_w"), stack("pw2_b"), stack("gamma"),
+        interpret=interpret)
+
+    x = _layer_norm(x, P["norm_out_scale"], P["norm_out_bias"])
+    n_bins = gen.istft_n_fft // 2 + 1
+    spec = x.astype(jnp.float32) @ P["head_w"] + P["head_b"]
+    logmag, phase = spec[..., :n_bins], spec[..., n_bins:]
+    mag = jnp.exp(jnp.minimum(logmag, math.log(_MAX_MAG)))
+    frames_ri = jnp.concatenate(
+        [mag * jnp.cos(phase), mag * jnp.sin(phase)], axis=-1)
+    return istft_overlap_add(frames_ri, gen.istft_n_fft,
+                             precision=head_precision)

@@ -55,36 +55,46 @@ def _shift_rows(x: jnp.ndarray, d: int) -> jnp.ndarray:
     return jnp.concatenate([z, x[:, :d]], axis=1)
 
 
-def _block_kernel(x_ref, dw_ref, db_ref, ls_ref, lb_ref, w1_ref, b1_ref,
-                  w2_ref, b2_ref, g_ref, y_ref, *, kernel_size: int,
-                  eps: float):
-    x = x_ref[:]                                  # (I, T, C) compute dtype
+def _block_math(x, dwk, db, ls, lb, w1, b1, w2, b2, g, *, kernel_size: int,
+                eps: float):
+    """One ConvNeXt block on VMEM-resident values. x: (I, T, C) compute
+    dtype; dwk: (K, C); per-channel vectors (C,)/(M,) f32; w1: (C, M),
+    w2: (M, C) compute dtype. Returns (I, T, C) in x.dtype."""
     I, T, C = x.shape
     half = (kernel_size - 1) // 2
 
-    # depthwise conv: 7 shifted FMAs, f32 accumulator (= XLA conv accum)
+    # depthwise conv: K shifted FMAs, f32 accumulator (= XLA conv accum)
     acc = jnp.zeros(x.shape, jnp.float32)
     for k in range(kernel_size):
         shifted = _shift_rows(x, k - half).astype(jnp.float32)
-        acc = acc + shifted * dw_ref[k][None, None, :].astype(jnp.float32)
-    h = acc + db_ref[0][None, None, :]            # f32 (I, T, C)
+        acc = acc + shifted * dwk[k][None, None, :].astype(jnp.float32)
+    h = acc + db[None, None, :]                   # f32 (I, T, C)
 
     # LayerNorm over features, f32 stats (models/vocos.py::_layer_norm)
     mu = jnp.mean(h, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
     h = (h - mu) * jax.lax.rsqrt(var + eps)
-    h = h * ls_ref[0][None, None, :] + lb_ref[0][None, None, :]
+    h = h * ls[None, None, :] + lb[None, None, :]
     h = h.reshape(I * T, C).astype(x.dtype)       # merge leading dims for MXU
 
     # pointwise C->M, tanh GELU, M->C — MXU with f32 accumulation
-    a = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
-    a = a + b1_ref[0][None, :]
+    a = jnp.dot(h, w1, preferred_element_type=jnp.float32)
+    a = a + b1[None, :]
     a = jax.nn.gelu(a, approximate=True).astype(x.dtype)
-    o = jnp.dot(a, w2_ref[:], preferred_element_type=jnp.float32)
-    o = o + b2_ref[0][None, :]
+    o = jnp.dot(a, w2, preferred_element_type=jnp.float32)
+    o = o + b2[None, :]
 
-    y = x.reshape(I * T, C).astype(jnp.float32) + g_ref[0][None, :] * o
-    y_ref[:] = y.reshape(I, T, C).astype(x.dtype)
+    y = x.reshape(I * T, C).astype(jnp.float32) + g[None, :] * o
+    return y.reshape(I, T, C).astype(x.dtype)
+
+
+def _block_kernel(x_ref, dw_ref, db_ref, ls_ref, lb_ref, w1_ref, b1_ref,
+                  w2_ref, b2_ref, g_ref, y_ref, *, kernel_size: int,
+                  eps: float):
+    y_ref[:] = _block_math(
+        x_ref[:], dw_ref[:], db_ref[0], ls_ref[0], lb_ref[0], w1_ref[:],
+        b1_ref[0], w2_ref[:], b2_ref[0], g_ref[0],
+        kernel_size=kernel_size, eps=eps)
 
 
 @functools.partial(jax.jit,
@@ -147,3 +157,97 @@ def convnext_block(x: jnp.ndarray, dw: jnp.ndarray, db: jnp.ndarray,
         interpret=interpret,
     )(x.astype(cdt), dw.astype(cdt), row(db), row(ls), row(lb),
       w1.astype(cdt), row(b1), w2.astype(cdt), row(b2), row(gamma))
+
+
+# ---------------------------------------------------------------------------
+# Whole-trunk mega-kernel: all L blocks in one pallas_call.
+#
+# The per-block kernel above still round-trips the (B, T, C) activation
+# through HBM between blocks (8 x 134 MB at the serving shape) and pays a
+# pallas_call launch per block. Here the activation stays RESIDENT in VMEM
+# across all L blocks and only the weights stream: the (L, C, M)/(L, M, C)
+# pointwise matrices live in HBM and are double-buffer DMA'd one block
+# ahead (the guide's double-buffering pattern), so the ~3.2 MB/block weight
+# fetch overlaps the ~8 us/block of MXU work. Per grid step (one batch
+# item): ~13 GFLOP of compute vs ~1 MB of activation I/O.
+# ---------------------------------------------------------------------------
+
+
+def _trunk_kernel(x_ref, dw_ref, vec_ref, b1_ref, w1_hbm, w2_hbm, y_ref,
+                  w1_buf, w2_buf, sems, *, n_layers: int, kernel_size: int,
+                  eps: float):
+    def dmas(layer, slot):
+        return (pltpu.make_async_copy(w1_hbm.at[layer], w1_buf.at[slot],
+                                      sems.at[slot, 0]),
+                pltpu.make_async_copy(w2_hbm.at[layer], w2_buf.at[slot],
+                                      sems.at[slot, 1]))
+
+    for c in dmas(0, 0):
+        c.start()
+    x = x_ref[:]                                   # (I, T, C), stays in VMEM
+    for l in range(n_layers):                      # static unroll
+        if l + 1 < n_layers:
+            for c in dmas(l + 1, (l + 1) % 2):
+                c.start()
+        for c in dmas(l, l % 2):
+            c.wait()
+        x = _block_math(
+            x, dw_ref[l], vec_ref[l, 0], vec_ref[l, 1], vec_ref[l, 2],
+            w1_buf[l % 2], b1_ref[l], w2_buf[l % 2], vec_ref[l, 3],
+            vec_ref[l, 4], kernel_size=kernel_size, eps=eps)
+    y_ref[:] = x
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def convnext_trunk(x: jnp.ndarray, dw: jnp.ndarray, db: jnp.ndarray,
+                   ls: jnp.ndarray, lb: jnp.ndarray, w1: jnp.ndarray,
+                   b1: jnp.ndarray, w2: jnp.ndarray, b2: jnp.ndarray,
+                   gamma: jnp.ndarray, eps: float = 1e-6,
+                   interpret: bool = False) -> jnp.ndarray:
+    """All L ConvNeXt blocks fused into one kernel (activation-stationary).
+
+    x: (B, T, C); stacked per-block params with a leading L dim:
+    dw (L, K, 1, C) or (L, K, C); db/ls/lb/b2/gamma (L, C); b1 (L, M);
+    w1 (L, C, M); w2 (L, M, C). Same numerics as L sequential
+    convnext_block calls. Same T/C/M alignment constraints.
+    """
+    B, T, C = x.shape
+    L, _, M = w1.shape
+    if dw.ndim == 4:                                   # flax (L, K, 1, C)
+        dw = dw.reshape(L, dw.shape[1], C)
+    K = dw.shape[1]
+    if T % 16 or C % 128 or M % 128:
+        raise ValueError(
+            f"convnext_trunk needs T%16==0, C%128==0, M%128==0; got "
+            f"T={T}, C={C}, M={M}")
+
+    cdt = x.dtype
+    # small per-channel params: (L, 5, C) f32, VMEM-resident
+    vec = jnp.stack([db, ls, lb, b2, gamma], axis=1).astype(jnp.float32)
+    const = lambda b: (0, 0)
+    const3 = lambda b: (0, 0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_trunk_kernel, n_layers=L, kernel_size=K,
+                          eps=eps),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), cdt),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, K, C), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 5, C), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, M), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),         # w1 stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),         # w2 stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, T, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, M), cdt),
+            pltpu.VMEM((2, M, C), cdt),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(x.astype(cdt), dw.astype(cdt), vec, b1.astype(jnp.float32),
+      w1.astype(cdt), w2.astype(cdt))
