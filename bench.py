@@ -88,6 +88,17 @@ def main():
     HOP, SR = 256, 22050
 
     cfg = Config()
+    if "--fused-attn" in sys.argv:
+        # fused Pallas attention core (ops/pallas_attention.py): measured
+        # acoustic forward 36.3 -> 33.2 ms at B=128, on-device parity exact
+        # (benchmarks/bench_acoustic_stages.py); HiFi-GAN headline moves
+        # only 2371 -> 2402 (vocoder-dominated) but the Vocos serving
+        # config gains 1.09x (see combined_synthesis_rtf_best in --full).
+        # Headline default keeps the XLA attention for baseline
+        # comparability (like --acoustic-bf16).
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, fused_attention=True))
     if "--acoustic-bf16" in sys.argv:
         # the acoustic model's bf16 compute path (train.compute_dtype;
         # LayerNorm/softmax/variance heads stay f32) applied to serving —
@@ -265,6 +276,46 @@ def _full(model, variables, gen, gen_params, batch, B, MAX_MEL, HOP, SR):
                       "value": round(rtf, 2),
                       "unit": "x_realtime_per_chip",
                       "vs_baseline": round(rtf / 50.0, 3)}))
+
+    # --- best serving config: fused Pallas attention + fused ConvNeXt ----
+    # Vocos + high-precision iSTFT head (every measured win stacked; the
+    # sub-metrics above keep their historical definitions for BASELINE
+    # comparability). TPU-only kernels: skipped on other backends.
+    if jax.default_backend() == "tpu":
+        import dataclasses
+
+        from visual_onoma_to_wave_tpu.config import Config
+
+        cfg_b = Config()
+        cfg_b = dataclasses.replace(
+            cfg_b, model=dataclasses.replace(cfg_b.model,
+                                             fused_attention=True))
+        from visual_onoma_to_wave_tpu.models import VTTS
+        model_b = VTTS.from_config(cfg_b, n_vocab=64, max_mel_len=MAX_MEL)
+        vgen_b = VocosGenerator(dtype=gen.dtype, fused_kernel=True,
+                                head_precision="high")
+        vgen_b_params = jax.jit(vgen_b.init)(
+            jax.random.PRNGKey(4), jnp.zeros((1, 16, 80), jnp.float32))
+
+        @jax.jit
+        def synth_best(params, batch_stats, vgen_params, batch, salt):
+            out = model_b.apply(
+                {"params": params, "batch_stats": batch_stats},
+                audiotypes=batch["audiotypes"], texts=batch["texts"],
+                src_lens=batch["src_lens"],
+                image_cells=batch["image_cells"] + salt,
+                use_image=True, deterministic=True)
+            wav = vgen_b.apply(vgen_params, out["postnet_mel"])
+            return jnp.sum(wav[:, ::4097])
+
+        dt = _timed(synth_best,
+                    lambda i: (params, batch_stats, vgen_b_params, batch,
+                               jnp.float32(1e-3 * i)), iters=5)
+        rtf = (B * MAX_MEL * HOP / SR) / dt
+        print(json.dumps({"metric": "combined_synthesis_rtf_best",
+                          "value": round(rtf, 2),
+                          "unit": "x_realtime_per_chip",
+                          "vs_baseline": round(rtf / 50.0, 3)}))
 
     # --- preprocessing DSP: clips/sec (Pallas frontend on TPU) -----------
     from visual_onoma_to_wave_tpu.ops.pallas_mel import pallas_clip_features

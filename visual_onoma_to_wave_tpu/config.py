@@ -135,6 +135,10 @@ class ModelConfig:
     # generator architecture overrides (e.g. upsample_initial_channel) for
     # self-trained reduced-size vocoders; {} = the family's published arch
     vocoder_kwargs: dict = field(default_factory=dict)
+    # serve the acoustic attention core as a fused Pallas TPU kernel
+    # (ops/pallas_attention.py) — inference-only, same checkpoint tree;
+    # training paths ignore it (non-deterministic calls use the XLA path)
+    fused_attention: bool = False
 
 
 @dataclass(frozen=True)

@@ -35,7 +35,15 @@ def sinusoid_position_table(n_position: int, d_hid: int) -> np.ndarray:
 
 
 class MultiHeadAttention(nn.Module):
-    """Post-LN multi-head self-attention (reference SubLayers.py:8-57)."""
+    """Post-LN multi-head self-attention (reference SubLayers.py:8-57).
+
+    fused_kernel routes the logits->mask->softmax->attention@V core
+    through the Pallas kernel `ops/pallas_attention.py::flash_mha`
+    (TPU-only, inference-only, auto-gated on the kernel's T/dk alignment
+    constraints — the T=8 encoder falls back to the XLA path). The Q/K/V
+    and output projections and the residual LayerNorm stay in XLA either
+    way, so the parameter tree is identical.
+    """
 
     n_head: int
     d_model: int
@@ -43,30 +51,47 @@ class MultiHeadAttention(nn.Module):
     d_v: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32   # compute precision; params stay f32
+    fused_kernel: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray, deterministic: bool):
-        # x: (B, T, D); attn_mask: (B, T, T) True = masked (padding)
+    def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray, deterministic: bool,
+                 key_pad_mask: jnp.ndarray | None = None):
+        # x: (B, T, D); attn_mask: (B, T, T) True = masked (padding);
+        # key_pad_mask: optional (B, T) True = padding — the per-key mask
+        # attn_mask broadcasts from (needed by the fused kernel)
         B, T, _ = x.shape
         residual = x
         q = nn.Dense(self.n_head * self.d_k, dtype=self.dtype, name="w_qs")(x)
         k = nn.Dense(self.n_head * self.d_k, dtype=self.dtype, name="w_ks")(x)
         v = nn.Dense(self.n_head * self.d_v, dtype=self.dtype, name="w_vs")(x)
-        q = q.reshape(B, T, self.n_head, self.d_k).transpose(0, 2, 1, 3)
-        k = k.reshape(B, T, self.n_head, self.d_k).transpose(0, 2, 1, 3)
-        v = v.reshape(B, T, self.n_head, self.d_v).transpose(0, 2, 1, 3)
 
-        scale = 1.0 / jnp.sqrt(jnp.asarray(self.d_k, jnp.float32))
-        # logits, masking and softmax in f32 regardless of compute dtype
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                          preferred_element_type=jnp.float32) * scale
-        attn = jnp.where(attn_mask[:, None, :, :], -jnp.inf, attn)
-        attn = nn.softmax(attn, axis=-1)
-        # fully-masked rows (padding queries) softmax to nan; zero them like
-        # the reference's post-block mask-fill makes them irrelevant anyway
-        attn = jnp.nan_to_num(attn).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v.astype(self.dtype))
-        out = out.transpose(0, 2, 1, 3).reshape(B, T, self.n_head * self.d_v)
+        # the kernel pads T internally; below T=128 the padding overhead
+        # exceeds the fusion win (the T=8 encoder stays on the XLA path)
+        from visual_onoma_to_wave_tpu.ops import pallas_attention as pa
+        use_fused = (self.fused_kernel and deterministic
+                     and key_pad_mask is not None and self.d_k == self.d_v
+                     and T >= 128 and self.d_k % 128 == 0
+                     and pa.fused_attention_available())
+        if use_fused:
+            out = pa.flash_mha(q, k, v, key_pad_mask, self.n_head)
+        else:
+            q = q.reshape(B, T, self.n_head, self.d_k).transpose(0, 2, 1, 3)
+            k = k.reshape(B, T, self.n_head, self.d_k).transpose(0, 2, 1, 3)
+            v = v.reshape(B, T, self.n_head, self.d_v).transpose(0, 2, 1, 3)
+
+            scale = 1.0 / jnp.sqrt(jnp.asarray(self.d_k, jnp.float32))
+            # logits, masking and softmax in f32 regardless of compute dtype
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                              preferred_element_type=jnp.float32) * scale
+            attn = jnp.where(attn_mask[:, None, :, :], -jnp.inf, attn)
+            attn = nn.softmax(attn, axis=-1)
+            # fully-masked rows (padding queries) softmax to nan; zero them
+            # like the reference's post-block mask-fill makes them
+            # irrelevant anyway
+            attn = jnp.nan_to_num(attn).astype(self.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v.astype(self.dtype))
+            out = out.transpose(0, 2, 1, 3).reshape(
+                B, T, self.n_head * self.d_v)
         out = nn.Dense(self.d_model, dtype=self.dtype, name="fc")(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         # post-LN in f32 (flax promotes with the f32 scale/bias params)
@@ -109,14 +134,16 @@ class FFTBlock(nn.Module):
     kernel_size: tuple[int, int]
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, pad_mask, attn_mask, deterministic: bool):
         # pad_mask: (B, T) True = padding; attn_mask: (B, T, T)
         x = MultiHeadAttention(
             self.n_head, self.d_model, self.d_k, self.d_v, self.dropout,
-            dtype=self.dtype, name="slf_attn",
-        )(x, attn_mask, deterministic)
+            dtype=self.dtype, fused_kernel=self.fused_attention,
+            name="slf_attn",
+        )(x, attn_mask, deterministic, key_pad_mask=pad_mask)
         x = jnp.where(pad_mask[:, :, None], 0.0, x)
         x = PositionwiseFeedForward(
             self.d_model, self.d_inner, self.kernel_size, self.dropout,

@@ -41,6 +41,7 @@ class FFTStack(nn.Module):
     kernel_size: tuple[int, int]
     dropout: float
     dtype: jnp.dtype = jnp.float32
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, pad_mask, deterministic: bool):
@@ -52,6 +53,7 @@ class FFTStack(nn.Module):
             x = FFTBlock(
                 self.d_model, self.n_head, d_k, d_k, self.d_inner,
                 self.kernel_size, self.dropout, dtype=self.dtype,
+                fused_attention=self.fused_attention,
                 name=f"layer_{i}",
             )(x, pad_mask, attn_mask, deterministic)
         return x
@@ -104,6 +106,11 @@ class VTTS(nn.Module):
     # compute precision for the FFT stacks + PostNet (params, LayerNorm,
     # softmax, variance predictors and the mel head stay f32)
     dtype: jnp.dtype = jnp.float32
+    # route the attention softmax core through the fused Pallas kernel
+    # (ops/pallas_attention.py) — TPU-only, inference-only; same param
+    # tree, auto-falls-back on unaligned shapes (the T=8 encoder).
+    # Config knob: model.fused_attention
+    fused_attention: bool = False
 
     @classmethod
     def from_config(cls, config: Config, metadata: Optional[DatasetMetadata] = None,
@@ -147,6 +154,7 @@ class VTTS(nn.Module):
             kurtosis_quantization=m.variance_embedding.kurtosis_quantization,
             multi_audiotype=m.multi_audiotype,
             postnet_dim=m.postnet_channels,
+            fused_attention=m.fused_attention,
             dtype=(jnp.bfloat16
                    if config.train.compute_dtype in ("bfloat16", "bf16")
                    else jnp.float32),
@@ -197,6 +205,7 @@ class VTTS(nn.Module):
         x = FFTStack(
             self.encoder_layers, self.hidden, self.n_head, self.d_inner,
             self.ffn_kernel, self.encoder_dropout, dtype=self.dtype,
+            fused_attention=self.fused_attention,
             name="encoder",
         )(x, src_pad_mask, deterministic)
 
@@ -233,6 +242,7 @@ class VTTS(nn.Module):
             self.decoder_layers, self.hidden,
             self.decoder_n_head or self.n_head, self.d_inner,
             self.ffn_kernel, self.decoder_dropout, dtype=self.dtype,
+            fused_attention=self.fused_attention,
             name="decoder",
         )(x, mel_pad_mask, deterministic)
 
