@@ -89,13 +89,11 @@ def main():
 
     cfg = Config()
     if "--fused-attn" in sys.argv:
-        # fused Pallas attention core (ops/pallas_attention.py): measured
-        # acoustic forward 36.3 -> 33.2 ms at B=128, on-device parity exact
-        # (benchmarks/bench_acoustic_stages.py); HiFi-GAN headline moves
-        # only 2371 -> 2402 (vocoder-dominated) but the Vocos serving
-        # config gains 1.09x (see combined_synthesis_rtf_best in --full).
-        # Headline default keeps the XLA attention for baseline
-        # comparability (like --acoustic-bf16).
+        # fused Pallas attention core (ops/pallas_attention.py): beat the
+        # OLD transpose-chain XLA path (33.2 vs 36.3 ms acoustic forward)
+        # but the keymask XLA re-formulation that is now the default path
+        # measures 28.1 ms — faster than the kernel, so this flag is kept
+        # only for re-measurement (docs/PERF.md "Fused Pallas attention")
         import dataclasses
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, fused_attention=True))
@@ -277,21 +275,11 @@ def _full(model, variables, gen, gen_params, batch, B, MAX_MEL, HOP, SR):
                       "unit": "x_realtime_per_chip",
                       "vs_baseline": round(rtf / 50.0, 3)}))
 
-    # --- best serving config: fused Pallas attention + fused ConvNeXt ----
-    # Vocos + high-precision iSTFT head (every measured win stacked; the
-    # sub-metrics above keep their historical definitions for BASELINE
-    # comparability). TPU-only kernels: skipped on other backends.
+    # --- best serving config: keymask attention (default path) + fused ---
+    # ConvNeXt Vocos + high-precision iSTFT head (every measured win
+    # stacked; the sub-metrics above keep their historical definitions for
+    # BASELINE comparability). TPU-only kernels: skipped on other backends.
     if jax.default_backend() == "tpu":
-        import dataclasses
-
-        from visual_onoma_to_wave_tpu.config import Config
-
-        cfg_b = Config()
-        cfg_b = dataclasses.replace(
-            cfg_b, model=dataclasses.replace(cfg_b.model,
-                                             fused_attention=True))
-        from visual_onoma_to_wave_tpu.models import VTTS
-        model_b = VTTS.from_config(cfg_b, n_vocab=64, max_mel_len=MAX_MEL)
         vgen_b = VocosGenerator(dtype=gen.dtype, fused_kernel=True,
                                 head_precision="high")
         vgen_b_params = jax.jit(vgen_b.init)(
@@ -299,7 +287,7 @@ def _full(model, variables, gen, gen_params, batch, B, MAX_MEL, HOP, SR):
 
         @jax.jit
         def synth_best(params, batch_stats, vgen_params, batch, salt):
-            out = model_b.apply(
+            out = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 audiotypes=batch["audiotypes"], texts=batch["texts"],
                 src_lens=batch["src_lens"],

@@ -150,18 +150,20 @@ def main() -> int:
         flops=2 * 6 * (attn_macs + ffn_macs))
 
     # decoder split: attention-only / FFN-only (per single sub-block x6)
+    # — measured exactly as the model runs it: key_pad_mask fast path
     attn = MultiHeadAttention(2, D, 128, 128, 0.2, dtype=dtype)
     amask = jnp.zeros((B, T, T), bool)
+    no_pad_f = jnp.zeros((B, T), bool)
     pa = attn.init(jax.random.PRNGKey(0), x_mel, amask, True)
     ta = net("attn_T512",
-             lambda x, t: attn.apply(pa, x + t, amask, True), x_mel,
+             lambda x, t: attn.apply(pa, x + t, None, True,
+                                     key_pad_mask=no_pad_f), x_mel,
              flops=2 * attn_macs)
     emit("attn_x6_extrapolated", 6 * ta, flops=2 * 6 * attn_macs)
 
     # fused Pallas attention core (ops/pallas_attention.py) — same params
     fattn = MultiHeadAttention(2, D, 128, 128, 0.2, dtype=dtype,
                                fused_kernel=True)
-    no_pad_f = jnp.zeros((B, T), bool)
     tfa = net("attn_T512_pallas",
               lambda x, t: fattn.apply(pa, x + t, amask, True,
                                        key_pad_mask=no_pad_f), x_mel,

@@ -109,6 +109,29 @@ def test_module_fused_path_parity(monkeypatch):
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=0)
 
 
+@pytest.mark.parametrize("deterministic", [True, False])
+def test_keymask_path_equals_attn_mask_path(deterministic):
+    """The default (B,1,1,T) key-mask formulation — no head transposes, no
+    (B,T,T) mask — must equal the general attn_mask formulation exactly
+    (measured bit-exact on TPU, 36.3 -> 28.1 ms; docs/PERF.md). Covers the
+    training path too (deterministic=False with dropout disabled)."""
+    B, T, D = 3, 64, 256
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    lens = np.array([T, 40, 0])
+    pad = jnp.asarray(np.arange(T)[None, :] >= lens[:, None])
+    attn_mask = jnp.broadcast_to(pad[:, None, :], (B, T, T))
+
+    mod = MultiHeadAttention(2, D, 128, 128, dropout=0.0)
+    params = mod.init(jax.random.PRNGKey(0), x, attn_mask, True)
+    kw = {} if deterministic else {"rngs": {"dropout": jax.random.PRNGKey(7)}}
+    via_attn_mask = mod.apply(params, x, attn_mask, deterministic, **kw)
+    via_key_mask = mod.apply(params, x, None, deterministic,
+                             key_pad_mask=pad, **kw)
+    np.testing.assert_array_equal(np.asarray(via_attn_mask),
+                                  np.asarray(via_key_mask))
+
+
 def test_fused_config_knob_safe_on_cpu():
     """model.fused_attention=true in a checkpoint config must load and run
     on non-TPU hosts: fused_attention_available() gates the kernel off

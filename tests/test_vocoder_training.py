@@ -64,6 +64,50 @@ def test_msd_shapes_and_pooling():
     assert _avg_pool1d(y).shape == (2, (2048 + 4 - 4) // 2 + 1)
 
 
+def test_discriminator_symmetry_and_solo_oracle():
+    """Property pin for any MPD/MSD batching formulation: scoring
+    (y, y_hat) vs the swapped (y_hat, y) must cross over exactly, and the
+    2B chain's real half must equal driving one sub-discriminator solo.
+    (A 2B-concat formulation passed this test but measured SLOWER on v5e
+    — 117.8 vs 110.4 ms/GAN-step same-session; see docs/PERF.md 'dead
+    ends'. The test stays: it pins whatever formulation is in use.)"""
+    rng = np.random.default_rng(7)
+    y = jnp.asarray(rng.normal(0, 0.1, (2, 2048)), jnp.float32)
+    yh = jnp.asarray(rng.normal(0, 0.1, (2, 2048)), jnp.float32)
+    for mod in (MultiPeriodDiscriminator(**TINY_MPD),
+                MultiScaleDiscriminator(**TINY_MSD)):
+        vars_ = mod.init(jax.random.PRNGKey(0), y, yh)
+        rs, gs, fr, fg = mod.apply(vars_, y, yh)
+        rs2, gs2, fr2, fg2 = mod.apply(vars_, yh, y)
+        for a, b in zip(rs, gs2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(gs, rs2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for ma, mb in zip(fr, fg2):
+            for a, b in zip(ma, mb):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # true single-batch oracle: drive one sub-discriminator directly on y
+    # alone with the same params; the 2B chain's real half must match
+    from visual_onoma_to_wave_tpu.models.hifigan_disc import (
+        PeriodDiscriminator, ScaleDiscriminator)
+    mpd = MultiPeriodDiscriminator(**TINY_MPD)
+    vars_ = mpd.init(jax.random.PRNGKey(1), y, yh)
+    rs, _, fr, _ = mpd.apply(vars_, y, yh)
+    solo, solo_f = PeriodDiscriminator(
+        TINY_MPD["periods"][0], TINY_MPD["channels"]).apply(
+        {"params": vars_["params"]["p2"]}, y)
+    np.testing.assert_allclose(np.asarray(rs[0]), np.asarray(solo),
+                               rtol=0, atol=1e-6)
+    msd = MultiScaleDiscriminator(**TINY_MSD)
+    vars_ = msd.init(jax.random.PRNGKey(2), y, yh)
+    rs, _, _, _ = msd.apply(vars_, y, yh)
+    solo, _ = ScaleDiscriminator(TINY_MSD["channels"]).apply(
+        {"params": vars_["params"]["s0"]}, y)
+    np.testing.assert_allclose(np.asarray(rs[0]), np.asarray(solo),
+                               rtol=0, atol=1e-6)
+
+
 def test_loss_properties():
     # perfect discrimination (Dr=1, Dg=0) => zero loss; worst case grows
     one, zero = [jnp.ones((2, 5))], [jnp.zeros((2, 5))]

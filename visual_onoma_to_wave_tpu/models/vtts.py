@@ -45,9 +45,9 @@ class FFTStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, pad_mask, deterministic: bool):
-        attn_mask = jnp.broadcast_to(
-            pad_mask[:, None, :], (x.shape[0], x.shape[1], x.shape[1])
-        )
+        # attention masking rides the (B, T) pad_mask directly (the module's
+        # key_pad_mask fast path); no (B, T, T) attn_mask is materialized
+        attn_mask = None
         d_k = self.d_model // self.n_head
         for i in range(self.n_layers):
             x = FFTBlock(
