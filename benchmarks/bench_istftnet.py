@@ -52,6 +52,11 @@ def main() -> int:
         from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
         gens["hifigan_v2"] = get_vocoder("HiFi-GAN-v2", dtype=dtype)
         gens["hifigan_v3"] = get_vocoder("HiFi-GAN-v3", dtype=dtype)
+    if "--bigvgan" in sys.argv:  # snake + anti-aliased family (base size)
+        from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
+        gens["bigvgan_base"] = get_vocoder("BigVGAN", dtype=dtype)
+        gens["bigvgan_base_noaa"] = get_vocoder("BigVGAN", dtype=dtype,
+                                                anti_aliased=False)
 
     for name, gen in gens.items():
         params = jax.jit(gen.init)(jax.random.PRNGKey(0),

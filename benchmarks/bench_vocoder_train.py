@@ -6,7 +6,8 @@ trained per second, and an estimate vs the official single-GPU recipe
 scale (batch 16 x 8192 samples).
 
 Usage: python benchmarks/bench_vocoder_train.py [--batch N] [--steps N]
-           [--family hifigan|istftnet|istftnet-mel]
+           [--family hifigan|istftnet|istftnet-mel|vocos|bigvgan]
+           [--disc msd|mrd] [--bf16]
 """
 from __future__ import annotations
 
@@ -42,13 +43,21 @@ def main() -> int:
     if family != "hifigan":
         from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
         gen = get_vocoder(family, dtype=jnp.dtype(dtype))
+    msd = None
+    disc = "msd"
+    if "--disc" in sys.argv:
+        disc = sys.argv[sys.argv.index("--disc") + 1]
+    if disc == "mrd":  # UnivNet/BigVGAN MPD+MRD recipe
+        from visual_onoma_to_wave_tpu.models.hifigan_disc import (
+            MultiResolutionDiscriminator)
+        msd = MultiResolutionDiscriminator(dtype=jnp.dtype(dtype))
 
     cfg = VocoderTrainConfig(batch_size=batch, compute_dtype=dtype)
     rng = np.random.default_rng(0)
     clips = [rng.uniform(-0.5, 0.5, 30000).astype(np.float32)
              for _ in range(8)]
     t0 = time.perf_counter()
-    trainer = VocoderTrainer(clips, cfg, gen=gen, use_mesh=False)
+    trainer = VocoderTrainer(clips, cfg, gen=gen, msd=msd, use_mesh=False)
     print(f"init {time.perf_counter() - t0:.1f}s", flush=True)
 
     # 2 synced warmups (block_until_ready is a no-op on the tunnel: sync by
@@ -70,7 +79,7 @@ def main() -> int:
     audio_sec = batch * cfg.segment_size / cfg.sampling_rate
     print(json.dumps({
         "metric": "vocoder_gan_train_step",
-        "family": family, "dtype": dtype,
+        "family": family, "disc": f"mpd+{disc}", "dtype": dtype,
         "batch": batch, "segment": cfg.segment_size,
         "step_ms": round(dt * 1e3, 2),
         "audio_sec_per_sec": round(audio_sec / dt, 1),

@@ -312,11 +312,22 @@ def cmd_train_vocoder(args):
 
         from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
         gen = get_vocoder(args.family, dtype=jnp.dtype(cfg.compute_dtype))
+    disc = args.disc or ("mrd" if args.family.startswith("bigvgan")
+                         else "msd")
+    msd = None
+    if disc == "mrd":
+        import jax.numpy as jnp
+
+        from visual_onoma_to_wave_tpu.models.hifigan_disc import (
+            MultiResolutionDiscriminator)
+        msd = MultiResolutionDiscriminator(
+            dtype=jnp.dtype(cfg.compute_dtype))
     clips = load_wav_dir(args.wav_dir, target_sr=cfg.sampling_rate)
-    print(f"training {args.family} on {len(clips)} clips "
+    print(f"training {args.family} (MPD+{disc.upper()}) on {len(clips)} "
+          f"clips "
           f"({sum(len(c) for c in clips) / cfg.sampling_rate:.0f}s of audio)")
     trainer = VocoderTrainer(clips, cfg, gen=gen, ckpt_dir=args.out_dir,
-                             log_dir=args.log_dir)
+                             log_dir=args.log_dir, msd=msd)
     if args.restore_step is not None:
         step = trainer.restore(args.restore_step if args.restore_step >= 0
                                else None)
@@ -502,13 +513,20 @@ def main(argv=None):
                    help="resume from this checkpoint step (-1 = latest)")
     s.add_argument("--family", default="hifigan",
                    choices=["hifigan", "hifigan-v2", "hifigan-v3",
-                            "istftnet", "istftnet-mel", "vocos"],
+                            "istftnet", "istftnet-mel", "vocos",
+                            "bigvgan", "bigvgan-large"],
                    help="generator family: hifigan (V1, reference parity), "
                         "hifigan-v2/-v3 (official smaller presets), "
                         "istftnet (C8C8I; drops the MXU-starved small-"
                         "channel tail), istftnet-mel (mel-rate trunk + "
                         "full iSTFT head), vocos (ConvNeXt trunk at mel "
-                        "rate + iSTFT head)")
+                        "rate + iSTFT head), bigvgan/-large (snake + "
+                        "anti-aliased activations)")
+    s.add_argument("--disc", default=None, choices=["msd", "mrd"],
+                   help="second discriminator next to the MPD: msd "
+                        "(multi-scale, HiFi-GAN recipe) or mrd (multi-"
+                        "resolution spectrogram, UnivNet/BigVGAN recipe); "
+                        "default: mrd for bigvgan families, msd otherwise")
     s.add_argument("--bf16", action="store_true",
                    help="mixed-precision GAN step (bf16 conv compute, f32 "
                         "params/losses/DSP): ~1.25x faster on v5e")

@@ -200,6 +200,81 @@ class MultiScaleDiscriminator(nn.Module):
         return rs, gs, fr, fg
 
 
+class ResolutionDiscriminator(nn.Module):
+    """One MRD sub-discriminator: 2-D conv stack on an STFT magnitude
+    (UnivNet, arXiv:2106.07889; the BigVGAN recipe pairs MPD with three of
+    these instead of the MSD). Input layout NHWC with H = freq bins,
+    W = frames; kernels (3, 9) span 3 bins x 9 frames, strides (1, 2)
+    decimate time."""
+
+    resolution: tuple[int, int, int] = (1024, 120, 600)  # n_fft, hop, win
+    channels: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    def _magnitude(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Eps-guarded |STFT|: zero-padded training segments have exactly
+        zero bins whose |z| gradient is NaN — sqrt(re^2 + im^2 + eps)
+        keeps the D/G updates finite (jnp.abs would not)."""
+        from visual_onoma_to_wave_tpu.ops.stft import (
+            _reflect_pad_1d, frame_signal, hann_window)
+        n_fft, hop, win = self.resolution
+        window = jnp.asarray(hann_window(win))
+        if win < n_fft:
+            lpad = (n_fft - win) // 2
+            window = jnp.pad(window, (lpad, n_fft - win - lpad))
+        frames = frame_signal(_reflect_pad_1d(x.astype(jnp.float32),
+                                              n_fft // 2), n_fft, hop)
+        spec = jnp.fft.rfft(frames * window, n=n_fft, axis=-1)  # (B, T', F)
+        return jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2 + 1e-9)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        """x: (B, T) -> (logits (B, N) f32, feature maps at self.dtype)."""
+        b = x.shape[0]
+        mag = self._magnitude(x)                         # (B, T', F)
+        h = mag.swapaxes(1, 2)[..., None]                # (B, F, T', 1)
+        fmaps = []
+        specs = [dict(s=(1, 1)), dict(s=(1, 2)), dict(s=(1, 2)),
+                 dict(s=(1, 2))]
+        for sp in specs:
+            h = WNConv(self.channels, (3, 9), strides=sp["s"],
+                       padding=((1, 1), (4, 4)), dtype=self.dtype)(h)
+            h = nn.leaky_relu(h, LRELU_SLOPE)
+            fmaps.append(h)
+        h = WNConv(self.channels, (3, 3), strides=(1, 1),
+                   padding=((1, 1), (1, 1)), dtype=self.dtype)(h)
+        h = nn.leaky_relu(h, LRELU_SLOPE)
+        fmaps.append(h)
+        h = WNConv(1, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                   dtype=self.dtype)(h)
+        fmaps.append(h)
+        return h.reshape(b, -1).astype(jnp.float32), fmaps
+
+
+class MultiResolutionDiscriminator(nn.Module):
+    """Drop-in alternative to MultiScaleDiscriminator (same
+    (y, y_hat) -> (rs, gs, fr, fg) interface, so
+    `VocoderTrainer(msd=MultiResolutionDiscriminator())` swaps it in).
+    Default resolutions are the UnivNet/BigVGAN triple."""
+
+    resolutions: tuple[tuple[int, int, int], ...] = (
+        (1024, 120, 600), (2048, 240, 1200), (512, 50, 240))
+    channels: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
+        rs, gs, fr, fg = [], [], [], []
+        for r in self.resolutions:
+            d = ResolutionDiscriminator(tuple(r), self.channels,
+                                        dtype=self.dtype,
+                                        name=f"r{r[0]}")
+            lr, mr = d(y)
+            lg, mg = d(y_hat)
+            rs.append(lr), gs.append(lg), fr.append(mr), fg.append(mg)
+        return rs, gs, fr, fg
+
+
 # ---------------------------------------------------------------------------
 # GAN losses (HiFi-GAN paper eqs. 1-3; LSGAN form)
 # ---------------------------------------------------------------------------

@@ -28,8 +28,9 @@ def get_vocoder(model: str = "HiFi-GAN", *, dtype=jnp.float32, **kwargs):
 
     Families: HiFi-GAN (reference parity), MelGAN (reference's torch.hub
     alternative), iSTFTNet / iSTFTNet-mel (beyond-reference iSTFT-head
-    generators, models/istftnet.py) and Vocos (ConvNeXt trunk at mel rate,
-    models/vocos.py) — the latter three self-trained via
+    generators, models/istftnet.py), Vocos (ConvNeXt trunk at mel rate,
+    models/vocos.py) and BigVGAN / BigVGAN-large (snake + anti-aliased,
+    models/bigvgan.py) — the non-reference families self-trained via
     `cli train-vocoder`.
     """
     name = model.lower().replace("-", "").replace("_", "")
@@ -48,6 +49,13 @@ def get_vocoder(model: str = "HiFi-GAN", *, dtype=jnp.float32, **kwargs):
     if name == "vocos":
         from visual_onoma_to_wave_tpu.models.vocos import VocosGenerator
         return VocosGenerator(dtype=dtype, **kwargs)
+    if name in ("bigvgan", "bigvganbase", "bigvganlarge"):
+        from visual_onoma_to_wave_tpu.models.bigvgan import (
+            BIGVGAN_PRESETS, BigVGANGenerator)
+        preset = dict(BIGVGAN_PRESETS["large" if name.endswith("large")
+                                      else "base"])
+        preset.update(kwargs)
+        return BigVGANGenerator(dtype=dtype, **preset)
     raise ValueError(f"unknown vocoder family: {model!r}")
 
 

@@ -236,7 +236,7 @@ def load_wav_dir(wav_dir: str | pathlib.Path, limit: int | None = None,
 
 def make_gan_train_step(gen: HiFiGANGenerator,
                         mpd: MultiPeriodDiscriminator,
-                        msd: MultiScaleDiscriminator,
+                        msd,  # MSD or any same-interface module (e.g. MRD)
                         gen_tx: optax.GradientTransformation,
                         disc_tx: optax.GradientTransformation,
                         cfg: VocoderTrainConfig):
@@ -342,6 +342,11 @@ class VocoderTrainer:
 
     clips: iterable of float32 waveforms in [-1, 1] at cfg.sampling_rate
     (e.g. `load_wav_dir(...)` over the corpus' formatted wav/ directory).
+
+    `msd` accepts any module with the MSD's (y, y_hat) -> (real_logits,
+    gen_logits, real_fmaps, gen_fmaps) interface — pass
+    `MultiResolutionDiscriminator()` for the UnivNet/BigVGAN MPD+MRD
+    recipe (`cli train-vocoder --disc mrd`).
     """
 
     def __init__(self, clips: Sequence[np.ndarray] | None,
@@ -351,7 +356,7 @@ class VocoderTrainer:
                  log_dir: str | pathlib.Path | None = None,
                  use_mesh: bool = True,
                  mpd: MultiPeriodDiscriminator | None = None,
-                 msd: MultiScaleDiscriminator | None = None,
+                 msd=None,
                  pairs=None):
         self.cfg = cfg or VocoderTrainConfig()
         if not 0.0 <= self.cfg.ema_decay < 1.0:
