@@ -58,6 +58,10 @@ def main() -> int:
         gens["bigvgan_base_noaa"] = get_vocoder("BigVGAN", dtype=dtype,
                                                 anti_aliased=False)
 
+    if "--only" in sys.argv:  # comma-list filter, e.g. --only bigvgan_base
+        keep = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        gens = {k: v for k, v in gens.items() if k in keep}
+
     for name, gen in gens.items():
         params = jax.jit(gen.init)(jax.random.PRNGKey(0),
                                    jnp.zeros((1, 16, 80)))

@@ -86,6 +86,9 @@ def main() -> int:
     ema_decay = 0.0
     if "--ema" in sys.argv:  # also scores the EMA iterate per family
         ema_decay = float(sys.argv[sys.argv.index("--ema") + 1])
+    disc = "msd"
+    if "--disc" in sys.argv:  # mrd = UnivNet/BigVGAN MPD+MRD recipe
+        disc = sys.argv[sys.argv.index("--disc") + 1]
 
     rng = np.random.default_rng(0)
     clips = [_clip(rng) for _ in range(24)]
@@ -114,11 +117,18 @@ def main() -> int:
         mel = np.asarray(jax.device_get(logmel(jnp.asarray(audio)[None])))[0]
         gt.append((audio, mel))                         # mel: (n_mels, T)
 
+    msd = None
+    if disc == "mrd":
+        from visual_onoma_to_wave_tpu.models.hifigan_disc import (
+            MultiResolutionDiscriminator)
+        msd = MultiResolutionDiscriminator(dtype=jnp.dtype(dtype))
+
     for family in families:
         gen = (get_vocoder(family, dtype=jnp.dtype(dtype))
                if family != "hifigan" else None)
         t0 = time.perf_counter()
-        vt = VocoderTrainer(train_clips, cfg, gen=gen, use_mesh=False)
+        vt = VocoderTrainer(train_clips, cfg, gen=gen, msd=msd,
+                            use_mesh=False)
         vt.train()
         train_s = time.perf_counter() - t0
 
@@ -148,7 +158,7 @@ def main() -> int:
             print(json.dumps({
                 "metric": "vocoder_copy_synthesis_quality",
                 "family": family, "steps": steps, "batch": batch,
-                "dtype": dtype, "iterate": tag,
+                "dtype": dtype, "disc": disc, "iterate": tag,
                 **({"ema_decay": ema_decay} if tag == "ema" else {}),
                 "train_s": round(train_s, 1),
                 "held_out_clips": len(gt),

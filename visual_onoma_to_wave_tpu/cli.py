@@ -278,14 +278,42 @@ def cmd_convert_vocoder(args):
     print(f"converted {args.kind} generator -> {args.out_dir}")
 
 
-def cmd_serve(args):
-    from visual_onoma_to_wave_tpu.serve import BatchingServer
+def cmd_export(args):
+    from visual_onoma_to_wave_tpu.export import export_synthesizer
     from visual_onoma_to_wave_tpu.synthesis import Synthesizer
 
     cfg = load_config(args.config)
     synth = Synthesizer.from_checkpoint(
         cfg, acoustic=args.acoustic, vocoder=args.vocoder,
-        restore_step=args.restore_step)
+        restore_step=args.restore_step, mesh=None)
+    kwargs = {}
+    if args.text_lens:
+        kwargs["text_lens"] = [int(v) for v in args.text_lens.split(",")]
+    manifest = export_synthesizer(
+        synth, args.out, max_batch=args.max_batch,
+        platforms=args.platforms.split(","), **kwargs)
+    print(f"exported {len(manifest['buckets'])} bucket executables "
+          f"({args.platforms}) -> {args.out}")
+
+
+def cmd_serve(args):
+    from visual_onoma_to_wave_tpu.serve import BatchingServer
+    from visual_onoma_to_wave_tpu.synthesis import Synthesizer
+
+    if args.exported:
+        from visual_onoma_to_wave_tpu.export import ExportedSynthesizer
+        synth = ExportedSynthesizer.load(args.exported)
+        if synth.max_batch < args.max_batch:
+            print(f"note: artifact ships batch buckets up to "
+                  f"{synth.max_batch}; capping --max-batch there")
+            args.max_batch = synth.max_batch
+    else:
+        if not args.config:
+            raise SystemExit("serve: config is required (or pass --exported)")
+        cfg = load_config(args.config)
+        synth = Synthesizer.from_checkpoint(
+            cfg, acoustic=args.acoustic, vocoder=args.vocoder,
+            restore_step=args.restore_step)
     server = BatchingServer(synth, host=args.host, port=args.port,
                             max_batch=args.max_batch,
                             batch_window_ms=args.window_ms,
@@ -475,7 +503,11 @@ def main(argv=None):
     s = sub.add_parser(
         "serve", help="production JSON API with TPU micro-batching "
                       "(concurrent requests share one device batch)")
-    s.add_argument("config")
+    s.add_argument("config", nargs="?", default=None)
+    s.add_argument("--exported", default=None,
+                   help="serve from a `cli export` artifact dir instead of "
+                        "a checkpoint (self-contained: no model code, no "
+                        "preprocessed dir)")
     s.add_argument("--vocoder", default=None,
                    help="converted/trained vocoder params dir")
     s.add_argument("--acoustic", default=None,
@@ -495,6 +527,25 @@ def main(argv=None):
                         "and dispatched while batch n round-trips the "
                         "device (1 = serial)")
     s.set_defaults(fn=cmd_serve)
+
+    s = sub.add_parser(
+        "export", help="AOT-export the fused serving step (jax.export) to "
+                       "a self-contained deployment artifact")
+    s.add_argument("config")
+    s.add_argument("--out", required=True, help="artifact output dir")
+    s.add_argument("--vocoder", default=None,
+                   help="converted/trained vocoder params dir (required "
+                        "for the fused path unless baked in the ckpt cfg)")
+    s.add_argument("--acoustic", default=None)
+    s.add_argument("--restore-step", type=int, default=None)
+    s.add_argument("--max-batch", type=int, default=8,
+                   help="largest power-of-two batch bucket to ship")
+    s.add_argument("--text-lens", default=None,
+                   help="comma list of text-length buckets (default: one "
+                        "and two text buckets)")
+    s.add_argument("--platforms", default="cpu,tpu",
+                   help="comma list of jax.export lowering platforms")
+    s.set_defaults(fn=cmd_export)
 
     s = sub.add_parser(
         "train-vocoder",
