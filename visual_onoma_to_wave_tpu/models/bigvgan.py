@@ -81,11 +81,18 @@ def kaiser_sinc_filter1d(cutoff: float, half_width: float,
 def _depthwise(x: jnp.ndarray, h: np.ndarray, *, stride: int = 1,
                lhs_dilation: int = 1, pad: tuple[int, int],
                dtype=jnp.float32) -> jnp.ndarray:
-    """Depthwise conv of (B, T, C) with one shared (K,) filter h."""
+    """Depthwise conv of (B, T, C) with one shared (K,) filter h.
+
+    The filter weight is built in PURE numpy and handed to lax.conv as a
+    host constant: any jnp op on a concrete array here (asarray/astype)
+    would execute EAGERLY at trace time — ~2 tunnel round-trips per AA
+    site, and a BigVGAN forward has ~150 of them, which measured as a
+    6-minute trace on the tunneled platform (docs/PERF.md)."""
     c = x.shape[-1]
-    w = jnp.asarray(np.broadcast_to(h[:, None, None], (len(h), 1, c)))
+    w = np.ascontiguousarray(np.broadcast_to(
+        h.astype(np.dtype(dtype))[:, None, None], (len(h), 1, c)))
     return jax.lax.conv_general_dilated(
-        x.astype(dtype), w.astype(dtype), window_strides=(stride,),
+        x.astype(dtype), w, window_strides=(stride,),
         padding=[pad], lhs_dilation=(lhs_dilation,),
         dimension_numbers=("NHC", "HIO", "NHC"),
         feature_group_count=c).astype(dtype)
