@@ -66,7 +66,8 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from visual_onoma_to_wave_tpu.metrics import mcd_frames, mel_l1
+    from visual_onoma_to_wave_tpu.metrics import (
+        mcd_frames, mel_l1, mrstft_distance)
     from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
     from visual_onoma_to_wave_tpu.ops.stft import (
         hann_window, logmel_and_energy, melscale_fbanks)
@@ -89,6 +90,9 @@ def main() -> int:
     disc = "msd"
     if "--disc" in sys.argv:  # mrd = UnivNet/BigVGAN MPD+MRD recipe
         disc = sys.argv[sys.argv.index("--disc") + 1]
+    gen_kwargs = {}
+    if "--gen-kwargs" in sys.argv:  # e.g. '{"anti_aliased": false}'
+        gen_kwargs = json.loads(sys.argv[sys.argv.index("--gen-kwargs") + 1])
 
     rng = np.random.default_rng(0)
     clips = [_clip(rng) for _ in range(24)]
@@ -124,7 +128,7 @@ def main() -> int:
         msd = MultiResolutionDiscriminator(dtype=jnp.dtype(dtype))
 
     for family in families:
-        gen = (get_vocoder(family, dtype=jnp.dtype(dtype))
+        gen = (get_vocoder(family, dtype=jnp.dtype(dtype), **gen_kwargs)
                if family != "hifigan" else None)
         t0 = time.perf_counter()
         vt = VocoderTrainer(train_clips, cfg, gen=gen, msd=msd,
@@ -139,7 +143,7 @@ def main() -> int:
             return gen.apply(params, mel_bt)            # (B, T*hop)
 
         def score(params):
-            l1s, mcds = [], []
+            l1s, mcds, scs, mags = [], [], [], []
             for audio, mel in gt:
                 wav = np.asarray(jax.device_get(
                     vocode(params, jnp.asarray(mel.T)[None])))[0][: len(audio)]
@@ -148,22 +152,32 @@ def main() -> int:
                 t = min(mel.shape[1], mel2.shape[1])
                 l1s.append(mel_l1(mel2[:, :t].T, mel[:, :t].T))
                 mcds.append(mcd_frames(mel2[:, :t].T, mel[:, :t].T))
-            return float(np.mean(l1s)), float(np.mean(mcds))
+                # waveform-domain counterpart: de-biases the mel metrics'
+                # favor toward magnitude-regressing heads (metrics.py)
+                d = mrstft_distance(np.clip(wav, -1.0, 1.0), audio)
+                scs.append(d["sc"])
+                mags.append(d["mag"])
+            return (float(np.mean(l1s)), float(np.mean(mcds)),
+                    float(np.mean(scs)), float(np.mean(mags)))
 
         variants = [("raw", vt.state.gen_params)]
         if vt.state.gen_ema is not None:
             variants.append(("ema", vt.state.gen_ema))
         for tag, params in variants:
-            l1, mcd = score(params)
+            l1, mcd, sc, mag = score(params)
             print(json.dumps({
                 "metric": "vocoder_copy_synthesis_quality",
                 "family": family, "steps": steps, "batch": batch,
                 "dtype": dtype, "disc": disc, "iterate": tag,
+                **({"gen_kwargs": gen_kwargs} if gen_kwargs else {}),
                 **({"ema_decay": ema_decay} if tag == "ema" else {}),
                 "train_s": round(train_s, 1),
                 "held_out_clips": len(gt),
                 "mel_l1": round(l1, 4),
                 "mcd_db": round(mcd, 2),
+                "mrstft_sc": round(sc, 4),
+                "mrstft_mag": round(mag, 4),
+                "mrstft": round(sc + mag, 4),
             }), flush=True)
     return 0
 

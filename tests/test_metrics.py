@@ -135,6 +135,55 @@ def test_trainer_evaluate_metrics(tiny_env):  # noqa: F811
         trainer.ckpt.close()
 
 
+def test_trainer_evaluate_waveform_metrics(tiny_env):  # noqa: F811
+    """With a vocoder loaded AND --save-audio waveforms on disk, evaluate
+    (metrics=True) adds the full-stack waveform MR-STFT numbers; without
+    audio files the keys are absent (mel-domain metrics only)."""
+    import dataclasses
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from visual_onoma_to_wave_tpu.models.hifigan import HiFiGANGenerator
+    from visual_onoma_to_wave_tpu.training.trainer import Trainer
+
+    cfg = tiny_env.replace(model=dataclasses.replace(
+        tiny_env.model, vocoder_kwargs={"upsample_initial_channel": 32}))
+    gen = HiFiGANGenerator(upsample_initial_channel=32)
+    voc_params = gen.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 4, 80), jnp.float32))
+
+    # no audio/ dir yet -> no waveform keys
+    trainer = Trainer(cfg, vocoder_params=voc_params, use_mesh=False)
+    try:
+        means = trainer.evaluate(metrics=True)
+        assert "mrstft_sc" not in means
+
+        # write hop-aligned GT audio for every val row (what preprocess
+        # --save-audio produces), then the metric appears and is finite
+        root = pathlib.Path(cfg.path.preprocessed)
+        hop = cfg.audio.stft.hop_length
+        rng = np.random.default_rng(12)
+        for split in ("val.txt",):
+            for line in (root / split).read_text().splitlines():
+                if not line.strip():
+                    continue
+                name, label = line.split("|")[0], line.split("|")[1]
+                T = np.load(root / "mel" / label / f"{name}.npy").shape[0]
+                (root / "audio" / label).mkdir(parents=True, exist_ok=True)
+                np.save(root / "audio" / label / f"{name}.npy",
+                        rng.uniform(-0.5, 0.5, T * hop).astype(np.float32))
+        means = trainer.evaluate(metrics=True)
+        for k in ("mrstft_sc", "mrstft_mag"):
+            assert k in means and np.isfinite(means[k]) and means[k] > 0.0
+    finally:
+        trainer.ckpt.close()
+        import shutil
+        shutil.rmtree(pathlib.Path(cfg.path.preprocessed) / "audio",
+                      ignore_errors=True)
+
+
 def test_val_metrics_flag_logs_quality_in_train_loop(tiny_env):  # noqa: F811
     """train.step.val_metrics=True makes the periodic validation log the
     quality metrics to the val metrics stream."""
@@ -157,6 +206,69 @@ def test_val_metrics_flag_logs_quality_in_train_loop(tiny_env):  # noqa: F811
             (pathlib.Path(cfg.path.log) / "val" / "metrics.jsonl"
              ).read_text().splitlines()]
     assert any("mcd" in r and np.isfinite(r["mcd"]) for r in rows), rows
+
+
+def test_stft_magnitude_matches_torch():
+    """stft_magnitude (the MR-STFT building block) equals
+    torch.stft(center=True, periodic hann) magnitudes, incl. win < n_fft."""
+    import torch
+
+    from visual_onoma_to_wave_tpu.metrics import stft_magnitude
+
+    rng = np.random.default_rng(8)
+    wav = rng.normal(size=4096).astype(np.float32)
+    for n_fft, hop, win in ((512, 128, 512), (1024, 256, 1024),
+                            (1024, 256, 600)):
+        ours = stft_magnitude(wav, n_fft, hop, win)
+        ref = torch.stft(
+            torch.from_numpy(wav), n_fft=n_fft, hop_length=hop,
+            win_length=win, window=torch.hann_window(win),
+            center=True, return_complex=True).abs().numpy().T
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_mrstft_identity_and_scaling():
+    """Identical waveforms score 0; a 2x-scaled copy has the closed form
+    sc = ||S-2S||/||S|| = 1 and log-mag L1 = ln 2 at every resolution."""
+    from visual_onoma_to_wave_tpu.metrics import mrstft_distance
+
+    rng = np.random.default_rng(9)
+    wav = rng.normal(size=8192) * 0.3
+    d0 = mrstft_distance(wav, wav)
+    assert d0 == {"sc": 0.0, "mag": 0.0, "total": 0.0}
+    d2 = mrstft_distance(2.0 * wav, wav)
+    assert d2["sc"] == pytest.approx(1.0, rel=1e-9)
+    assert d2["mag"] == pytest.approx(np.log(2.0), rel=1e-6)
+    assert d2["total"] == pytest.approx(d2["sc"] + d2["mag"])
+
+
+def test_mrstft_penalizes_phase_corruption():
+    """Two signals with near-identical coarse mel energy but scrambled fine
+    structure (tone vs same-band noise) score far worse than a mild
+    amplitude error — the de-biasing property vs mel-domain metrics."""
+    from visual_onoma_to_wave_tpu.metrics import mrstft_distance
+
+    rng = np.random.default_rng(10)
+    t = np.arange(8192) / 22050.0
+    tone = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    mild = 1.05 * tone                       # 5% amplitude error
+    scrambled = 0.5 * rng.normal(size=t.size) * np.std(tone) * np.sqrt(2)
+    assert (mrstft_distance(scrambled, tone)["total"]
+            > 5 * mrstft_distance(mild, tone)["total"])
+
+
+def test_mrstft_length_handling():
+    from visual_onoma_to_wave_tpu.metrics import mrstft_distance
+
+    rng = np.random.default_rng(11)
+    wav = rng.normal(size=8192)
+    # hop slop: a few trailing samples are trimmed, not an error
+    d = mrstft_distance(wav[:-7], wav)
+    assert d["total"] < 1e-2
+    with pytest.raises(ValueError, match="lengths differ"):
+        mrstft_distance(wav[:4000], wav)
+    with pytest.raises(ValueError, match="non-empty"):
+        mrstft_distance(np.zeros(0), np.zeros(0))
 
 
 def test_native_dtw_matches_python():

@@ -132,7 +132,12 @@ def cmd_evaluate(args):
     _maybe_init_distributed(args)
     from visual_onoma_to_wave_tpu.training.trainer import Trainer
     cfg = load_config(args.config)
-    trainer = Trainer(cfg, restore_step=args.restore_step)
+    vocoder_params = None
+    if getattr(args, "vocoder", None):
+        from visual_onoma_to_wave_tpu.utils.checkpoint import load_params
+        vocoder_params = load_params(args.vocoder)
+    trainer = Trainer(cfg, restore_step=args.restore_step,
+                      vocoder_params=vocoder_params)
     losses = trainer.evaluate(metrics=args.metrics)
     print(json.dumps(losses))
 
@@ -447,8 +452,15 @@ def main(argv=None):
     s.add_argument("--restore-step", type=int, default=None)
     s.add_argument("--metrics", action="store_true",
                    help="also compute objective quality metrics: "
-                        "teacher-forced mel_l1 + MCD and free-running "
-                        "DTW-aligned MCD (dB)")
+                        "teacher-forced mel_l1 + MCD, free-running "
+                        "DTW-aligned MCD (dB), and — when --vocoder is "
+                        "given and the corpus was preprocessed with "
+                        "--save-audio — waveform-domain multi-resolution "
+                        "STFT distance (mrstft_sc/_mag)")
+    s.add_argument("--vocoder", default=None,
+                   help="vocoder params dir: enables the waveform-domain "
+                        "metrics under --metrics (needs preprocess "
+                        "--save-audio waveforms on disk)")
     _add_distributed_args(s)
     s.set_defaults(fn=cmd_evaluate)
 

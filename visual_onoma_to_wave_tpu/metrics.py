@@ -132,6 +132,75 @@ def mel_l1(pred_logmel: np.ndarray, gt_logmel: np.ndarray) -> float:
                                 - np.asarray(gt_logmel, np.float64))))
 
 
+# ---------------------------------------------------------------------------
+# Waveform-domain quality: multi-resolution STFT distance
+# ---------------------------------------------------------------------------
+# The mel-domain metrics above share a structural bias with the iSTFT-head
+# vocoder families (they regress magnitude spectra directly, so mel metrics
+# favor them — BASELINE.md's own caveat). The multi-resolution STFT distance
+# (Yamamoto et al. 2020, Parallel WaveGAN, eqs. 4-6) compares the WAVEFORMS:
+# spectral convergence + log-magnitude L1 at several analysis resolutions.
+# Phase errors de-cohere the waveform and smear magnitude at the finer
+# resolutions, so it penalizes exactly what single-resolution mel metrics
+# can hide. The reference has no waveform metric at all (its evaluate.py
+# logs audio for human listening).
+
+# (n_fft, hop, win_length) triples — the standard PWG/auraloss set
+MRSTFT_RESOLUTIONS = ((512, 128, 512), (1024, 256, 1024), (2048, 512, 2048))
+_LOG_EPS = 1e-7
+
+
+def stft_magnitude(wav: np.ndarray, n_fft: int, hop: int,
+                   win_length: int) -> np.ndarray:
+    """(N,) waveform -> (T, n_fft//2+1) STFT magnitude, torch.stft-compatible
+    (center=True reflect pad, periodic Hann, float64 accumulation)."""
+    wav = np.asarray(wav, np.float64)
+    n = np.arange(win_length, dtype=np.float64)
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)  # periodic Hann
+    if win_length < n_fft:  # center the window in the frame like torch
+        lpad = (n_fft - win_length) // 2
+        win = np.pad(win, (lpad, n_fft - win_length - lpad))
+    pad = n_fft // 2
+    x = np.pad(wav, (pad, pad), mode="reflect")
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    return np.abs(np.fft.rfft(x[idx] * win, axis=-1))
+
+
+def mrstft_distance(pred_wav: np.ndarray, gt_wav: np.ndarray,
+                    resolutions=MRSTFT_RESOLUTIONS) -> dict[str, float]:
+    """Multi-resolution STFT distance between two waveforms.
+
+    Returns {"sc": .., "mag": .., "total": ..} where per resolution
+      sc  = ||S_gt - S_pred||_F / ||S_gt||_F      (spectral convergence)
+      mag = mean |log S_pred - log S_gt|          (log-magnitude L1, nats)
+    averaged over resolutions; total = sc + mag (the PWG loss convention).
+    Lengths may differ by a few samples (codec/hop slop): both are trimmed
+    to the shorter; a >10% mismatch raises (that is an alignment bug, not
+    slop)."""
+    pred_wav = np.asarray(pred_wav, np.float64).reshape(-1)
+    gt_wav = np.asarray(gt_wav, np.float64).reshape(-1)
+    n = min(len(pred_wav), len(gt_wav))
+    if n == 0:
+        raise ValueError("mrstft_distance needs non-empty waveforms")
+    if max(len(pred_wav), len(gt_wav)) > int(n * 1.1) + 16:
+        raise ValueError(
+            f"waveform lengths differ too much to be hop slop: "
+            f"{len(pred_wav)} vs {len(gt_wav)}; align them first")
+    pred_wav, gt_wav = pred_wav[:n], gt_wav[:n]
+    scs, mags = [], []
+    for n_fft, hop, win_length in resolutions:
+        sp = stft_magnitude(pred_wav, n_fft, hop, win_length)
+        sg = stft_magnitude(gt_wav, n_fft, hop, win_length)
+        denom = max(float(np.linalg.norm(sg)), _LOG_EPS)
+        scs.append(float(np.linalg.norm(sg - sp)) / denom)
+        mags.append(float(np.mean(np.abs(
+            np.log(np.maximum(sp, _LOG_EPS))
+            - np.log(np.maximum(sg, _LOG_EPS))))))
+    sc, mag = float(np.mean(scs)), float(np.mean(mags))
+    return {"sc": sc, "mag": mag, "total": sc + mag}
+
+
 # a ground-truth frame counts as voiced when its mean log-mel sits this
 # far (nats) above the corpus dynamic-range floor ln(1e-5) — the margin
 # rejects pure-floor silence while keeping quiet decays

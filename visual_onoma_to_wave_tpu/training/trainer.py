@@ -317,13 +317,32 @@ class Trainer:
         metrics=True adds objective quality numbers the reference never had
         (its evaluate.py:58-103 only logs audio for human listening):
         teacher-forced mel_l1 + mcd (dB) and free-running mcd_dtw (dB) —
-        see visual_onoma_to_wave_tpu/metrics.py.
+        see visual_onoma_to_wave_tpu/metrics.py. When a vocoder is loaded
+        AND the corpus was preprocessed with --save-audio, it also reports
+        the WAVEFORM-domain multi-resolution STFT distance (mrstft_sc/_mag)
+        of the vocoded teacher-forced mel vs the ground-truth audio — the
+        full-stack metric the mel-domain ones cannot provide (single-process
+        runs only; the vocode pass is not wired as a collective).
         """
         sums = {k: 0.0 for k in LOSS_KEYS}
+        wave_gt: dict[str, pathlib.Path] = {}
         if metrics:
             from visual_onoma_to_wave_tpu.metrics import batch_quality_metrics
             sums.update({"mel_l1": 0.0, "mcd": 0.0, "mcd_voiced": 0.0,
                          "mcd_dtw": 0.0})
+            audio_root = pathlib.Path(self.config.path.preprocessed) / "audio"
+            if (self.vocoder_params is not None and self.n_proc == 1
+                    and audio_root.is_dir()):
+                wave_gt = {p.stem: p for p in audio_root.glob("*/*.npy")}
+        if wave_gt:
+            from visual_onoma_to_wave_tpu.metrics import mrstft_distance
+            from visual_onoma_to_wave_tpu.models.vocoder import (
+                get_vocoder, vocoder_infer)
+            voc_gen = get_vocoder(self.config.model.vocoder_model,
+                                  **dict(self.config.model.vocoder_kwargs))
+            hop = self.config.audio.stft.hop_length
+            sums.update({"mrstft_sc": 0.0, "mrstft_mag": 0.0})
+            n_wave = 0
         n = 0
         for batch in self.val_ds.batches(group_size=1, shuffle=False):
             jb = self._place(_jit_batch(batch))
@@ -353,8 +372,29 @@ class Trainer:
                     np.asarray(batch["mel_lens"]))
                 for k, v in q.items():
                     sums[k] += v
+                if wave_gt:
+                    import jax.numpy as jnp
+                    wavs, _ = vocoder_infer(
+                        self.vocoder_params, jnp.asarray(np.asarray(tf_mel)),
+                        gen=voc_gen, model=self.config.model.vocoder_model)
+                    wavs = np.asarray(jax.device_get(wavs))
+                    mel_lens = np.asarray(batch["mel_lens"])
+                    for b, name in enumerate(batch["names"]):
+                        p = wave_gt.get(name)
+                        if p is None:
+                            continue
+                        gt_wav = np.load(p)
+                        pred = np.clip(
+                            wavs[b, : int(mel_lens[b]) * hop], -1.0, 1.0)
+                        d = mrstft_distance(pred, gt_wav)
+                        sums["mrstft_sc"] += d["sc"]
+                        sums["mrstft_mag"] += d["mag"]
+                        n_wave += 1
             n += bs
         means = {k: (v / n if n else float("nan")) for k, v in sums.items()}
+        if wave_gt:
+            for k in ("mrstft_sc", "mrstft_mag"):
+                means[k] = sums[k] / n_wave if n_wave else float("nan")
         if step is not None:
             self.val_log.text(
                 f"validation step {step}: total {means['total_loss']:.4f}")
