@@ -36,24 +36,32 @@ def _tone_clip(rng, n_chars, sec_per_char=0.18, lead=0.12, tail=0.12):
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
+    """Synthetic raw corpus in the REAL RWCP-SSD layout the reference's
+    01_format.py consumes: audio under <take>/<label>/48khz/<clip>.raw,
+    4-field .ono rows keyed by onomatopoeia_id, 4-field .acc rows, labs
+    named <clip>-<onomatopoeia_id>.lab next to the .ono files."""
     root = tmp_path_factory.mktemp("cli_corpus")
     raw_root = root / "RWCP-SSD"
     ono_root = root / "onoma"
     texts = {"000": "パン", "001": "パンパ", "013": "トント", "002": "カッ"}
     rng = np.random.default_rng(0)
     for label in ("drum",):
-        (raw_root / label / "48khz").mkdir(parents=True)
-        od = ono_root / "nospeech" / "drummy" / label
+        (raw_root / "nospeech" / "drysrc" / "c1" / label / "48khz"
+         ).mkdir(parents=True)
+        od = ono_root / "c1" / label
         od.mkdir(parents=True)
         for num, text in texts.items():
-            clip = f"c1_{label}_{num}_0980"
+            ono_id = f"0704_{num}"
             wav, lab = _tone_clip(rng, len(text))
             # write 16-bit little-endian raw
-            (raw_root / label / "48khz" / f"{clip}.raw").write_bytes(
+            (raw_root / "nospeech" / "drysrc" / "c1" / label / "48khz"
+             / f"{num}.raw").write_bytes(
                 (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes())
-            # .ono: worker,onomatopoeia,self_score ; .acc: worker,rater,score
-            (od / f"{clip}.ono").write_text(f"w1,{text},5.0\n")
-            (od / f"{clip}.acc").write_text("w1,w2,4.0\nw1,w3,5.0\n")
+            # .ono: worker,onomatopoeia_id,onomatopoeia,self_score
+            # .acc: onomatopoeia_id,onomatopoeia,rater_worker,score
+            (od / f"{num}.ono").write_text(f"w1,{ono_id},{text},5\n")
+            (od / f"{num}.acc").write_text(
+                f"{ono_id},{text},w2,4\n{ono_id},{text},w3,5\n")
             lab_lines = []
             ci = 0
             for line in lab:
@@ -63,7 +71,8 @@ def corpus(tmp_path_factory):
                     ci += 1
                 else:
                     lab_lines.append(line)
-            (od / f"{clip}_w1.lab").write_text("\n".join(lab_lines) + "\n")
+            (od / f"{num}-{ono_id}.lab").write_text(
+                "\n".join(lab_lines) + "\n")
 
     cfg = {
         "path": {

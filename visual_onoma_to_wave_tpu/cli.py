@@ -47,7 +47,9 @@ def load_config(path: str):
 def cmd_format(args):
     from visual_onoma_to_wave_tpu.data.formatting import format_dataset
     cfg = load_config(args.config)
-    counts = format_dataset(cfg, args.audio_dir)
+    counts = format_dataset(
+        cfg, args.audio_dir,
+        missing_acc="keep" if args.keep_missing_acc else "skip")
     print(json.dumps(counts))
 
 
@@ -397,6 +399,10 @@ def main(argv=None):
     s = sub.add_parser("format", help="format a raw corpus (01_format)")
     s.add_argument("config")
     s.add_argument("audio_dir")
+    s.add_argument("--keep-missing-acc", action="store_true",
+                   help="write rows of clips with no .acc file "
+                        "(others_score=0) instead of skipping them like "
+                        "the reference does for its known-missing case")
     s.set_defaults(fn=cmd_format)
 
     s = sub.add_parser("prepare-tg", help="lab -> TextGrid (02_prepare_tg)")
