@@ -132,6 +132,83 @@ def test_bucket_pad_up_and_limits(live_synth, exported_synth):
         exported_synth.synthesize("パンパンパンパンパ", at)
 
 
+def test_max_text_len_property(exported_synth):
+    assert exported_synth.max_text_len == 8
+    assert exported_synth.max_batch == 4
+
+
+def test_http_edge_enforces_artifact_text_limit(exported_synth):
+    """A text longer than the artifact's largest text bucket gets a clean
+    400 naming the limit at the HTTP edge — it must never reach the worker
+    where _pick_bucket would fail the whole co-batched group (ADVICE r3)."""
+    import urllib.error
+    import urllib.request
+
+    from visual_onoma_to_wave_tpu.serve import BatchingServer
+    server = BatchingServer(exported_synth, port=0, max_batch=4,
+                            batch_window_ms=2.0)
+    assert server.max_text_len == 8
+    assert server.meta()["max_text_len"] == 8
+    server.start()
+    try:
+        body = json.dumps({"text": "パ" * 9, "audiotype": _audiotype()}
+                          ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/synthesize", data=body,
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=120)
+        assert ei.value.code == 400
+        msg = ei.value.read().decode()
+        assert "1..8" in msg and "text bucket" in msg
+        # an in-limit request on the same server still serves fine
+        ok = json.dumps({"text": "パン", "audiotype": _audiotype()}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/synthesize", data=ok,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = json.loads(resp.read())
+        assert out["mel_frames"] >= 1
+    finally:
+        server.stop()
+
+
+def test_cli_export_platform_validation(tmp_path, capsys):
+    """--platforms is stripped/validated before any checkpoint load."""
+    from visual_onoma_to_wave_tpu.cli import main as cli_main
+    with pytest.raises(SystemExit, match="platforms"):
+        cli_main(["export", "nonexistent-config.json", "--out",
+                  str(tmp_path), "--platforms", "cpu, bogus"])
+
+
+def test_cli_serve_exported_warns_on_ignored_args(artifact, capsys,
+                                                  monkeypatch):
+    """cli serve --exported with a config/--vocoder warns they are ignored
+    (ADVICE r3) and forwards the artifact-capped limits to the server."""
+    from visual_onoma_to_wave_tpu import cli as cli_mod
+
+    captured = {}
+
+    class FakeServer:
+        def __init__(self, synth, **kw):
+            captured["synth"] = synth
+            captured["kw"] = kw
+
+        def serve_forever(self):
+            captured["served"] = True
+
+    monkeypatch.setattr("visual_onoma_to_wave_tpu.serve.BatchingServer",
+                        FakeServer)
+    cli_mod.main(["serve", str(DEMO / "config.json"),
+                  "--exported", str(artifact[0]),
+                  "--vocoder", "some/dir", "--max-batch", "32"])
+    out = capsys.readouterr().out
+    assert "ignored" in out and "--vocoder" in out and "config" in out
+    assert "text buckets cap requests at 8" in out
+    assert captured["kw"]["max_batch"] == 4
+    assert captured["served"]
+
+
 def test_vocode_is_live_only(exported_synth):
     with pytest.raises(RuntimeError, match="live"):
         exported_synth.vocode(np.zeros((1, 64, 80), np.float32), [64])

@@ -289,18 +289,27 @@ def cmd_export(args):
     from visual_onoma_to_wave_tpu.export import export_synthesizer
     from visual_onoma_to_wave_tpu.synthesis import Synthesizer
 
+    # validate cheap args BEFORE the checkpoint load: 'cpu, tpu' must not
+    # reach jax.export as ' tpu' and fail opaquely after a slow restore
+    platforms = [p.strip().lower() for p in args.platforms.split(",")
+                 if p.strip()]
+    known = {"cpu", "tpu", "cuda", "rocm"}
+    bad = [p for p in platforms if p not in known]
+    if bad or not platforms:
+        raise SystemExit(f"--platforms: unknown {bad or ['(empty)']}; "
+                         f"choose from {sorted(known)}")
+    kwargs = {}
+    if args.text_lens:
+        kwargs["text_lens"] = [int(v) for v in args.text_lens.split(",")]
     cfg = load_config(args.config)
     synth = Synthesizer.from_checkpoint(
         cfg, acoustic=args.acoustic, vocoder=args.vocoder,
         restore_step=args.restore_step, mesh=None)
-    kwargs = {}
-    if args.text_lens:
-        kwargs["text_lens"] = [int(v) for v in args.text_lens.split(",")]
     manifest = export_synthesizer(
         synth, args.out, max_batch=args.max_batch,
-        platforms=args.platforms.split(","), **kwargs)
+        platforms=platforms, **kwargs)
     print(f"exported {len(manifest['buckets'])} bucket executables "
-          f"({args.platforms}) -> {args.out}")
+          f"({','.join(platforms)}) -> {args.out}")
 
 
 def cmd_serve(args):
@@ -309,11 +318,22 @@ def cmd_serve(args):
 
     if args.exported:
         from visual_onoma_to_wave_tpu.export import ExportedSynthesizer
+        ignored = [n for n, v in (("config", args.config),
+                                  ("--acoustic", args.acoustic),
+                                  ("--vocoder", args.vocoder),
+                                  ("--restore-step", args.restore_step))
+                   if v is not None]
+        if ignored:
+            print(f"warning: serving the --exported artifact; "
+                  f"{', '.join(ignored)} ignored (the artifact bakes its "
+                  f"own params/config)")
         synth = ExportedSynthesizer.load(args.exported)
         if synth.max_batch < args.max_batch:
             print(f"note: artifact ships batch buckets up to "
                   f"{synth.max_batch}; capping --max-batch there")
             args.max_batch = synth.max_batch
+        print(f"note: artifact text buckets cap requests at "
+              f"{synth.max_text_len} characters")
     else:
         if not args.config:
             raise SystemExit("serve: config is required (or pass --exported)")

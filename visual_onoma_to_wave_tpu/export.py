@@ -231,6 +231,14 @@ class ExportedSynthesizer(Synthesizer):
     def max_batch(self) -> int:
         return max(b for b, _ in self._blobs)
 
+    @property
+    def max_text_len(self) -> int:
+        """Largest text length any shipped bucket covers. The HTTP edge
+        (serve.BatchingServer) enforces this so an over-limit text gets a
+        clean 400 instead of reaching the worker and failing its whole
+        micro-batch group at _pick_bucket time."""
+        return max(c for _, c in self._blobs)
+
     def _pick_bucket(self, b: int, c: int) -> tuple[int, int]:
         """Smallest exported bucket covering (b, c) items, or a clear error
         naming the artifact's limits."""

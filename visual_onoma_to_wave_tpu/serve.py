@@ -110,6 +110,13 @@ class BatchingServer:
                  pipeline_depth: int = 2):
         self.synth = synthesizer
         self.max_batch = int(max_batch)
+        # text-length cap: the server default, tightened to the artifact's
+        # largest shipped text bucket when serving an ExportedSynthesizer —
+        # an over-limit text must 400 at the edge, not reach the worker and
+        # fail its whole co-batched group at _pick_bucket dispatch time
+        self.max_text_len = min(
+            MAX_TEXT_LEN,
+            int(getattr(synthesizer, "max_text_len", MAX_TEXT_LEN)))
         self.window_s = float(batch_window_ms) / 1e3
         # per-request deadline: enforced while queued (worker skips expired
         # items without device work) and while in flight (handler returns
@@ -280,7 +287,7 @@ class BatchingServer:
             "has_vocoder": self.synth.vocoder_params is not None,
             "sampling_rate": self.synth.config.audio.sampling_rate,
             "max_batch": self.max_batch,
-            "max_text_len": MAX_TEXT_LEN,
+            "max_text_len": self.max_text_len,
             "max_queue": self._q.maxsize,
             "pipeline_depth": self.pipeline_depth,
             "request_timeout_s": self.timeout_s,
@@ -320,8 +327,11 @@ class BatchingServer:
         if not isinstance(req, dict):
             return "each request must be a JSON object"
         text = req.get("text", "")
-        if not isinstance(text, str) or not 1 <= len(text) <= MAX_TEXT_LEN:
-            return f"text must be a string of 1..{MAX_TEXT_LEN} characters"
+        if not isinstance(text, str) or not 1 <= len(text) <= self.max_text_len:
+            return (f"text must be a string of 1..{self.max_text_len} "
+                    f"characters"
+                    + (" (the exported artifact's largest text bucket)"
+                       if self.max_text_len < MAX_TEXT_LEN else ""))
         if any(c in "{}\n\r" for c in text):
             return "text must not contain braces or newlines"
         at = req.get("audiotype", 0)
