@@ -139,23 +139,29 @@ def synth_clip(rng, text: str, cls: str):
 
 
 def build_corpus(root: pathlib.Path, n_per_class: int, seed: int = 0):
+    """Deterministic corpus in the REAL RWCP-SSD layout (see 01_format.py /
+    data/formatting.py): audio under nospeech/drysrc/<take>/<cls>/48khz/,
+    4-field .ono rows keyed by onomatopoeia_id, 4-field .acc rows, labs
+    named <clip>-<onomatopoeia_id>.lab next to the .ono files."""
     raw_root = root / "RWCP-SSD"
     ono_root = root / "onoma"
     rng = np.random.default_rng(seed)
     for cls in CLASSES:
-        (raw_root / cls / "48khz").mkdir(parents=True, exist_ok=True)
-        od = ono_root / "nospeech" / "demo" / cls
+        d48 = raw_root / "nospeech" / "drysrc" / "c1" / cls / "48khz"
+        d48.mkdir(parents=True, exist_ok=True)
+        od = ono_root / "c1" / cls
         od.mkdir(parents=True, exist_ok=True)
         for k in range(n_per_class):
             n_chars = int(rng.integers(2, 6))
             text = "".join(rng.choice(list(KATAKANA), n_chars))
             wav, lab = synth_clip(rng, text, cls)
-            clip = f"c1_{cls}_{k:03d}_0980"
-            (raw_root / cls / "48khz" / f"{clip}.raw").write_bytes(
+            num, ono_id = f"{k:03d}", f"0704_{k:03d}"
+            (d48 / f"{num}.raw").write_bytes(
                 (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes())
-            (od / f"{clip}.ono").write_text(f"w1,{text},5.0\n")
-            (od / f"{clip}.acc").write_text("w1,w2,4.0\nw1,w3,5.0\n")
-            (od / f"{clip}_w1.lab").write_text("\n".join(lab) + "\n")
+            (od / f"{num}.ono").write_text(f"w1,{ono_id},{text},5\n")
+            (od / f"{num}.acc").write_text(
+                f"{ono_id},{text},w2,4\n{ono_id},{text},w3,5\n")
+            (od / f"{num}-{ono_id}.lab").write_text("\n".join(lab) + "\n")
     return raw_root, ono_root
 
 
