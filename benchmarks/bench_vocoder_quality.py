@@ -93,6 +93,12 @@ def main() -> int:
     gen_kwargs = {}
     if "--gen-kwargs" in sys.argv:  # e.g. '{"anti_aliased": false}'
         gen_kwargs = json.loads(sys.argv[sys.argv.index("--gen-kwargs") + 1])
+    lr = 2e-4
+    if "--lr" in sys.argv:  # BigVGAN recipe: 1e-4
+        lr = float(sys.argv[sys.argv.index("--lr") + 1])
+    clip = 0.0
+    if "--clip" in sys.argv:  # BigVGAN recipe: 1e3
+        clip = float(sys.argv[sys.argv.index("--clip") + 1])
 
     rng = np.random.default_rng(0)
     clips = [_clip(rng) for _ in range(24)]
@@ -100,7 +106,8 @@ def main() -> int:
 
     cfg = VocoderTrainConfig(total_steps=steps, batch_size=batch,
                              save_every=10 ** 9, log_every=max(steps // 4, 1),
-                             compute_dtype=dtype, ema_decay=ema_decay)
+                             compute_dtype=dtype, ema_decay=ema_decay,
+                             learning_rate=lr, grad_clip_norm=clip)
     window = jnp.asarray(hann_window(cfg.win_length))
     fb = jnp.asarray(melscale_fbanks(cfg.n_fft // 2 + 1, cfg.f_min,
                                      cfg.f_max, cfg.n_mels,
@@ -170,6 +177,8 @@ def main() -> int:
                 "family": family, "steps": steps, "batch": batch,
                 "dtype": dtype, "disc": disc, "iterate": tag,
                 **({"gen_kwargs": gen_kwargs} if gen_kwargs else {}),
+                **({"lr": lr} if lr != 2e-4 else {}),
+                **({"clip": clip} if clip else {}),
                 **({"ema_decay": ema_decay} if tag == "ema" else {}),
                 "train_s": round(train_s, 1),
                 "held_out_clips": len(gt),

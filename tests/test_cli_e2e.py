@@ -107,6 +107,7 @@ def corpus(tmp_path_factory):
     return root, str(cfg_path), str(raw_root)
 
 
+@pytest.mark.slow  # ~77 s: 4-pass preprocess + train + synthesize
 def test_cli_full_pipeline(corpus, capsys):
     root, cfg, raw_root = corpus
 

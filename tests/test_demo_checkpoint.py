@@ -90,6 +90,7 @@ def test_demo_checkpoint_alt_vocoder(cfg_name, voc_dir, family):
         assert r.wav.shape[0] == r.mel_len * 256
 
 
+@pytest.mark.slow  # ~37 s: compiles a second fused-executable bucket
 def test_text_normalization(synth):
     """Characters encode_text strips ('{', '}', newline) must not crash the
     per-character length bookkeeping; empty text raises cleanly."""
@@ -123,6 +124,7 @@ def test_library_input_validation(synth):
         synth.synthesize_batch(["パン"], [cls], d_control=[float("inf")])
 
 
+@pytest.mark.slow  # ~47 s: two full CLI runs incl. checkpoint loads
 def test_cli_synthesize_batch(tmp_path):
     """`cli synthesize-batch` writes one wav per input row for both row
     formats (split-style name|audiotype|fontsize|font|text and TSV)."""

@@ -19,6 +19,10 @@ import pytest
 REPO = pathlib.Path(__file__).resolve().parents[1]
 WORKER = pathlib.Path(__file__).resolve().parent / "distributed_worker.py"
 
+# every test here spawns a real 2-process gloo cluster (~2-3 min each on
+# the 1-core CI host) — fast lane skips them (`pytest -m 'not slow'`)
+pytestmark = pytest.mark.slow
+
 
 def _free_port():
     with socket.socket() as s:

@@ -10,9 +10,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow  # ~155 s: fresh-process re-exec compiles everything cold
 def test_dryrun_multichip_subprocess_reexec_like_driver():
     """Simulate the driver: a parent process with ONE device calls
     dryrun_multichip(8); it must self-provision a virtual CPU mesh."""
@@ -35,6 +38,7 @@ def test_dryrun_multichip_subprocess_reexec_like_driver():
     assert "sharded synth OK" in proc.stdout
 
 
+@pytest.mark.slow  # ~45 s: jits the full DP train step + sharded serving
 def test_dryrun_multichip_inprocess_fast_path():
     """Under the 8-virtual-device test env the dry run stays in-process."""
     import __graft_entry__ as g

@@ -77,6 +77,7 @@ def test_tiny_overfit_loss_decreases():
     assert last < first * 0.7, (first, last)
 
 
+@pytest.mark.slow  # ~46 s: compiles the train step twice (1-dev + 8-dev)
 def test_data_parallel_equals_single_device():
     """Same batch, same init: loss after 3 steps must match between a
     1-device run and an 8-device sharded run (the JAX analog of a

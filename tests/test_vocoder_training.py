@@ -129,6 +129,32 @@ def test_sampler_shapes_and_padding():
         assert set(np.unique(row)) <= {0.0, 0.5, 1.0}
 
 
+def test_grad_clip_norm_is_wired_and_trains():
+    """cfg.grad_clip_norm > 0 must insert a clip stage ahead of Adam in
+    BOTH optimizers (the BigVGAN recipe depends on it — at the flat
+    HiFi-GAN lr the family diverges to tanh rails, docs/PERF.md) and the
+    clipped step must stay finite and move every param group."""
+    rng = np.random.default_rng(3)
+    clip = rng.normal(0, 0.2, 6000).astype(np.float32)
+    cfg = _tiny_cfg(learning_rate=1e-4, grad_clip_norm=1e3)
+    trainer = VocoderTrainer(
+        [clip], cfg, gen=_tiny_gen(), use_mesh=False,
+        mpd=MultiPeriodDiscriminator(**TINY_MPD),
+        msd=MultiScaleDiscriminator(**TINY_MSD))
+    # optax.chain(clip_by_global_norm, adamw) => 2-stage outer state whose
+    # first element is the (stateless) clip stage
+    assert len(trainer.state.gen_opt) == 2
+    assert len(trainer.state.disc_opt) == 2
+    p0 = jax.device_get(trainer.state.gen_params)
+    audio = jnp.asarray(trainer.sampler.next_batch())
+    state1, m1 = trainer.train_step(trainer.state, audio)
+    for k in ("d_total", "g_total", "mel_l1"):
+        assert np.isfinite(float(m1[k])), k
+    p1 = jax.device_get(state1.gen_params)
+    assert any(np.abs(a - b).max() > 0 for a, b in
+               zip(jax.tree.leaves(p0), jax.tree.leaves(p1)))
+
+
 def test_gan_step_updates_everything_and_overfits():
     rng = np.random.default_rng(2)
     t = np.arange(6000) / 22050.0

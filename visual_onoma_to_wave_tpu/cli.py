@@ -355,9 +355,16 @@ def cmd_train_vocoder(args):
     from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
         VocoderTrainConfig, VocoderTrainer, load_wav_dir)
 
+    # Family-default recipe: BigVGAN diverges to tanh rails under the
+    # HiFi-GAN flat 2e-4 (measured, docs/PERF.md) — the paper's recipe is
+    # lr 1e-4 + grad-clip 1e3. Explicit --lr/--grad-clip always win.
+    is_bigvgan = args.family.startswith("bigvgan")
+    lr = args.lr if args.lr is not None else (1e-4 if is_bigvgan else 2e-4)
+    clip = (args.grad_clip if args.grad_clip is not None
+            else (1e3 if is_bigvgan else 0.0))
     cfg = VocoderTrainConfig(
         segment_size=args.segment_size, batch_size=args.batch_size,
-        learning_rate=args.lr, total_steps=args.steps,
+        learning_rate=lr, grad_clip_norm=clip, total_steps=args.steps,
         save_every=args.save_every, seed=args.seed,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         ema_decay=args.ema_decay)
@@ -594,7 +601,12 @@ def main(argv=None):
     s.add_argument("--steps", type=int, default=200_000)
     s.add_argument("--batch-size", type=int, default=16)
     s.add_argument("--segment-size", type=int, default=8192)
-    s.add_argument("--lr", type=float, default=2e-4)
+    s.add_argument("--lr", type=float, default=None,
+                   help="generator/discriminator LR (default: family "
+                        "recipe — 2e-4 HiFi-GAN, 1e-4 BigVGAN)")
+    s.add_argument("--grad-clip", type=float, default=None,
+                   help="global-norm gradient clip, 0 disables (default: "
+                        "family recipe — off, 1e3 for BigVGAN)")
     s.add_argument("--save-every", type=int, default=10_000)
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--log-dir", default=None)

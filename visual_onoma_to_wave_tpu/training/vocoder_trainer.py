@@ -90,6 +90,13 @@ class VocoderTrainConfig:
     # artifact. Choose decay ~ 1 - 1/expected_steps x 10: 0.999 for
     # few-thousand-step runs, 0.9999 for the full 200 k recipe.
     ema_decay: float = 0.0
+    # Global-norm gradient clipping applied to BOTH the generator and the
+    # discriminator updates; 0.0 = off (the official HiFi-GAN recipe).
+    # The BigVGAN recipe needs it: at HiFi-GAN's flat 2e-4 the BigVGAN
+    # generator diverges to tanh rails within ~1k steps (measured,
+    # docs/PERF.md) — the paper's fix is lr=1e-4 + clip=1e3 (the
+    # `cli train-vocoder --family bigvgan` default).
+    grad_clip_norm: float = 0.0
 
 
 @flax.struct.dataclass
@@ -389,10 +396,15 @@ class VocoderTrainer:
         sched = optax.exponential_decay(
             c.learning_rate, transition_steps=c.lr_decay_steps,
             decay_rate=c.lr_decay, staircase=True)
-        self.gen_tx = optax.adamw(sched, b1=c.adam_b1, b2=c.adam_b2,
-                                  weight_decay=0.01)
-        self.disc_tx = optax.adamw(sched, b1=c.adam_b1, b2=c.adam_b2,
-                                   weight_decay=0.01)
+        def _tx():
+            adam = optax.adamw(sched, b1=c.adam_b1, b2=c.adam_b2,
+                               weight_decay=0.01)
+            if c.grad_clip_norm > 0.0:
+                return optax.chain(
+                    optax.clip_by_global_norm(c.grad_clip_norm), adam)
+            return adam
+        self.gen_tx = _tx()
+        self.disc_tx = _tx()
 
         rng = jax.random.PRNGKey(c.seed)
         rg, rp, rs = jax.random.split(rng, 3)
