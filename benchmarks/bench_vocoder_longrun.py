@@ -29,23 +29,16 @@ import pathlib
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
-from bench_vocoder_quality import _clip  # noqa: E402  (shared corpus)
+# shared corpus + scoring harness — the long-run and matched-budget
+# numbers stay comparable by construction
+from bench_vocoder_quality import corpus_and_gt, make_scorer  # noqa: E402
 
 
 def main() -> int:
-    import jax
-    import jax.numpy as jnp
-
-    from visual_onoma_to_wave_tpu.metrics import (
-        mcd_frames, mel_l1, mrstft_distance)
     from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
-    from visual_onoma_to_wave_tpu.ops.stft import (
-        hann_window, logmel_and_energy, melscale_fbanks)
     from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
         VocoderTrainConfig, VocoderTrainer)
 
@@ -65,59 +58,16 @@ def main() -> int:
     if "--ema" in sys.argv:
         ema_decay = float(sys.argv[sys.argv.index("--ema") + 1])
 
-    rng = np.random.default_rng(0)
-    clips = [_clip(rng) for _ in range(24)]
-    train_clips, held_out = clips[:20], clips[20:]
-
     cfg = VocoderTrainConfig(total_steps=steps, batch_size=batch,
                              save_every=10 ** 9,
                              log_every=max(every // 2, 1),
                              ema_decay=ema_decay)
-    window = jnp.asarray(hann_window(cfg.win_length))
-    fb = jnp.asarray(melscale_fbanks(cfg.n_fft // 2 + 1, cfg.f_min,
-                                     cfg.f_max, cfg.n_mels,
-                                     cfg.sampling_rate))
-
-    @jax.jit
-    def logmel(audio):
-        m, _ = logmel_and_energy(audio, window, fb, cfg.n_fft,
-                                 cfg.hop_length, cfg.win_length)
-        return m
-
-    gt = []
-    for c in held_out:
-        t = len(c) // cfg.hop_length
-        audio = c[: t * cfg.hop_length]
-        mel = np.asarray(jax.device_get(logmel(jnp.asarray(audio)[None])))[0]
-        gt.append((audio, mel))
+    train_clips, gt, logmel = corpus_and_gt(cfg)
 
     for family in families:
         gen = (get_vocoder(family) if family != "hifigan" else None)
         vt = VocoderTrainer(train_clips, cfg, gen=gen, use_mesh=False)
-
-        @jax.jit
-        def vocode(params, mel_bt, gen=vt.gen):
-            return gen.apply(params, mel_bt)
-
-        def score(params):
-            l1s, mcds, scs, mags = [], [], [], []
-            for audio, mel in gt:
-                wav = np.asarray(jax.device_get(
-                    vocode(params, jnp.asarray(mel.T)[None])))[0][: len(audio)]
-                wav = np.clip(wav, -1.0, 1.0)
-                mel2 = np.asarray(jax.device_get(
-                    logmel(jnp.asarray(wav)[None])))[0]
-                t = min(mel.shape[1], mel2.shape[1])
-                l1s.append(mel_l1(mel2[:, :t].T, mel[:, :t].T))
-                mcds.append(mcd_frames(mel2[:, :t].T, mel[:, :t].T))
-                d = mrstft_distance(wav, audio)
-                scs.append(d["sc"])
-                mags.append(d["mag"])
-            return {"mel_l1": round(float(np.mean(l1s)), 4),
-                    "mcd_db": round(float(np.mean(mcds)), 2),
-                    "mrstft_sc": round(float(np.mean(scs)), 4),
-                    "mrstft_mag": round(float(np.mean(mags)), 4),
-                    "mrstft": round(float(np.mean(scs) + np.mean(mags)), 4)}
+        score = make_scorer(vt.gen, gt, logmel)
 
         t0 = time.perf_counter()
         for target in range(every, steps + 1, every):

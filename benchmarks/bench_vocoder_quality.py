@@ -62,15 +62,85 @@ def _clip(rng: np.random.Generator) -> np.ndarray:
     return np.clip(out, -1.0, 1.0)
 
 
-def main() -> int:
+def corpus_and_gt(cfg):
+    """Shared scoring harness (also used by bench_vocoder_longrun.py —
+    keep the matched-budget and long-run numbers comparable by
+    construction): the deterministic 24-clip corpus split into 20 train
+    clips and 4 held-out (audio, ground-truth-mel) pairs, plus the jitted
+    log-mel analyzer. Each held-out clip is trimmed to a whole number of
+    hops so vocoded length == clip length exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from visual_onoma_to_wave_tpu.ops.stft import (
+        hann_window, logmel_and_energy, melscale_fbanks)
+
+    window = jnp.asarray(hann_window(cfg.win_length))
+    fb = jnp.asarray(melscale_fbanks(cfg.n_fft // 2 + 1, cfg.f_min,
+                                     cfg.f_max, cfg.n_mels,
+                                     cfg.sampling_rate))
+
+    @jax.jit
+    def logmel(audio):
+        m, _ = logmel_and_energy(audio, window, fb, cfg.n_fft,
+                                 cfg.hop_length, cfg.win_length)
+        return m                                        # (B, n_mels, T)
+
+    rng = np.random.default_rng(0)
+    clips = [_clip(rng) for _ in range(24)]
+    train_clips, held_out = clips[:20], clips[20:]
+    gt = []
+    for c in held_out:
+        t = len(c) // cfg.hop_length
+        audio = c[: t * cfg.hop_length]
+        mel = np.asarray(jax.device_get(logmel(jnp.asarray(audio)[None])))[0]
+        gt.append((audio, mel))                         # mel: (n_mels, T)
+    return train_clips, gt, logmel
+
+
+def make_scorer(gen, gt, logmel):
+    """score(params) -> copy-synthesis quality dict over the held-out
+    clips: mel L1 + frame-aligned MCD (mel domain) and multi-resolution
+    STFT distance (waveform domain — de-biases the mel metrics' favor
+    toward magnitude-regressing heads; metrics.py)."""
     import jax
     import jax.numpy as jnp
 
     from visual_onoma_to_wave_tpu.metrics import (
         mcd_frames, mel_l1, mrstft_distance)
+
+    # params as jit ARGUMENTS, never closure/default-arg constants
+    # (closed-over trees 413 the tunneled remote_compile endpoint)
+    @jax.jit
+    def vocode(params, mel_bt):
+        return gen.apply(params, mel_bt)                # (B, T*hop)
+
+    def score(params):
+        l1s, mcds, scs, mags = [], [], [], []
+        for audio, mel in gt:
+            wav = np.asarray(jax.device_get(
+                vocode(params, jnp.asarray(mel.T)[None])))[0][: len(audio)]
+            wav = np.clip(wav, -1.0, 1.0)
+            mel2 = np.asarray(jax.device_get(
+                logmel(jnp.asarray(wav)[None])))[0]
+            t = min(mel.shape[1], mel2.shape[1])
+            l1s.append(mel_l1(mel2[:, :t].T, mel[:, :t].T))
+            mcds.append(mcd_frames(mel2[:, :t].T, mel[:, :t].T))
+            d = mrstft_distance(wav, audio)
+            scs.append(d["sc"])
+            mags.append(d["mag"])
+        return {"mel_l1": round(float(np.mean(l1s)), 4),
+                "mcd_db": round(float(np.mean(mcds)), 2),
+                "mrstft_sc": round(float(np.mean(scs)), 4),
+                "mrstft_mag": round(float(np.mean(mags)), 4),
+                "mrstft": round(float(np.mean(scs) + np.mean(mags)), 4)}
+    return score
+
+
+def main() -> int:
+    import jax.numpy as jnp
+
     from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
-    from visual_onoma_to_wave_tpu.ops.stft import (
-        hann_window, logmel_and_energy, melscale_fbanks)
     from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
         VocoderTrainConfig, VocoderTrainer)
 
@@ -100,33 +170,11 @@ def main() -> int:
     if "--clip" in sys.argv:  # BigVGAN recipe: 1e3
         clip = float(sys.argv[sys.argv.index("--clip") + 1])
 
-    rng = np.random.default_rng(0)
-    clips = [_clip(rng) for _ in range(24)]
-    train_clips, held_out = clips[:20], clips[20:]
-
     cfg = VocoderTrainConfig(total_steps=steps, batch_size=batch,
                              save_every=10 ** 9, log_every=max(steps // 4, 1),
                              compute_dtype=dtype, ema_decay=ema_decay,
                              learning_rate=lr, grad_clip_norm=clip)
-    window = jnp.asarray(hann_window(cfg.win_length))
-    fb = jnp.asarray(melscale_fbanks(cfg.n_fft // 2 + 1, cfg.f_min,
-                                     cfg.f_max, cfg.n_mels,
-                                     cfg.sampling_rate))
-
-    @jax.jit
-    def logmel(audio):
-        m, _ = logmel_and_energy(audio, window, fb, cfg.n_fft,
-                                 cfg.hop_length, cfg.win_length)
-        return m                                        # (B, n_mels, T)
-
-    # ground-truth mels of the held-out clips, each trimmed to a whole
-    # number of hops so vocoded length == clip length exactly
-    gt = []
-    for c in held_out:
-        t = len(c) // cfg.hop_length
-        audio = c[: t * cfg.hop_length]
-        mel = np.asarray(jax.device_get(logmel(jnp.asarray(audio)[None])))[0]
-        gt.append((audio, mel))                         # mel: (n_mels, T)
+    train_clips, gt, logmel = corpus_and_gt(cfg)
 
     msd = None
     if disc == "mrd":
@@ -142,36 +190,12 @@ def main() -> int:
                             use_mesh=False)
         vt.train()
         train_s = time.perf_counter() - t0
-
-        # params as jit ARGUMENTS, never closure/default-arg constants
-        # (closed-over trees 413 the tunneled remote_compile endpoint)
-        @jax.jit
-        def vocode(params, mel_bt, gen=vt.gen):
-            return gen.apply(params, mel_bt)            # (B, T*hop)
-
-        def score(params):
-            l1s, mcds, scs, mags = [], [], [], []
-            for audio, mel in gt:
-                wav = np.asarray(jax.device_get(
-                    vocode(params, jnp.asarray(mel.T)[None])))[0][: len(audio)]
-                mel2 = np.asarray(jax.device_get(
-                    logmel(jnp.asarray(np.clip(wav, -1.0, 1.0))[None])))[0]
-                t = min(mel.shape[1], mel2.shape[1])
-                l1s.append(mel_l1(mel2[:, :t].T, mel[:, :t].T))
-                mcds.append(mcd_frames(mel2[:, :t].T, mel[:, :t].T))
-                # waveform-domain counterpart: de-biases the mel metrics'
-                # favor toward magnitude-regressing heads (metrics.py)
-                d = mrstft_distance(np.clip(wav, -1.0, 1.0), audio)
-                scs.append(d["sc"])
-                mags.append(d["mag"])
-            return (float(np.mean(l1s)), float(np.mean(mcds)),
-                    float(np.mean(scs)), float(np.mean(mags)))
+        score = make_scorer(vt.gen, gt, logmel)
 
         variants = [("raw", vt.state.gen_params)]
         if vt.state.gen_ema is not None:
             variants.append(("ema", vt.state.gen_ema))
         for tag, params in variants:
-            l1, mcd, sc, mag = score(params)
             print(json.dumps({
                 "metric": "vocoder_copy_synthesis_quality",
                 "family": family, "steps": steps, "batch": batch,
@@ -182,11 +206,7 @@ def main() -> int:
                 **({"ema_decay": ema_decay} if tag == "ema" else {}),
                 "train_s": round(train_s, 1),
                 "held_out_clips": len(gt),
-                "mel_l1": round(l1, 4),
-                "mcd_db": round(mcd, 2),
-                "mrstft_sc": round(sc, 4),
-                "mrstft_mag": round(mag, 4),
-                "mrstft": round(sc + mag, 4),
+                **score(params),
             }), flush=True)
     return 0
 

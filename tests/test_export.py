@@ -204,7 +204,8 @@ def test_cli_serve_exported_warns_on_ignored_args(artifact, capsys,
                   "--vocoder", "some/dir", "--max-batch", "32"])
     out = capsys.readouterr().out
     assert "ignored" in out and "--vocoder" in out and "config" in out
-    assert "text buckets cap requests at 8" in out
+    # the printed cap is the EFFECTIVE one: min(artifact buckets, server cap)
+    assert "requests capped at 8 characters" in out
     assert captured["kw"]["max_batch"] == 4
     assert captured["served"]
 

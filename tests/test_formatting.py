@@ -88,6 +88,11 @@ def test_all_rows_written_with_dcase_scores(ref_corpus):
         "b1-drum-071-0704-119|b1-drum-071|ドン|drum|4|0.0",
         "b1-drum-071-0704-120|b1-drum-071|カッ-カ|drum|3|0",
     ]
+    # the skipped clip must not leave an orphan wav behind (the acc check
+    # runs BEFORE audio conversion)
+    audio_out = pathlib.Path(cfg.path.formatted) / "audio" / "drum"
+    assert not (audio_out / "b1-drum-072.wav").exists()
+    assert (audio_out / "b1-drum-071.wav").exists()
     # labs renamed from the parallel _lab root
     lab_dir = pathlib.Path(cfg.path.formatted) / "lab" / "drum"
     assert sorted(p.name for p in lab_dir.glob("*.lab")) == [

@@ -332,8 +332,13 @@ def cmd_serve(args):
             print(f"note: artifact ships batch buckets up to "
                   f"{synth.max_batch}; capping --max-batch there")
             args.max_batch = synth.max_batch
-        print(f"note: artifact text buckets cap requests at "
-              f"{synth.max_text_len} characters")
+        from visual_onoma_to_wave_tpu.serve import MAX_TEXT_LEN
+        # the server enforces min(its own cap, the artifact's buckets) —
+        # print the EFFECTIVE limit, not just the artifact's
+        print(f"note: requests capped at "
+              f"{min(synth.max_text_len, MAX_TEXT_LEN)} characters "
+              f"(artifact text buckets {synth.max_text_len}, server cap "
+              f"{MAX_TEXT_LEN})")
     else:
         if not args.config:
             raise SystemExit("serve: config is required (or pass --exported)")
@@ -429,7 +434,11 @@ def main(argv=None):
     s.add_argument("--keep-missing-acc", action="store_true",
                    help="write rows of clips with no .acc file "
                         "(others_score=0) instead of skipping them like "
-                        "the reference does for its known-missing case")
+                        "the reference does for its known-missing case. "
+                        "NOTE: preprocess still filters rows below "
+                        "acceptance_score_border (default 2.5), so these "
+                        "rows only reach the dataset if you also lower "
+                        "that border in the config")
     s.set_defaults(fn=cmd_format)
 
     s = sub.add_parser("prepare-tg", help="lab -> TextGrid (02_prepare_tg)")

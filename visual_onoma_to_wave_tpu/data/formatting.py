@@ -161,17 +161,18 @@ def format_rwcpssd(
                 cands = sorted(
                     audio_root.glob(f"**/{label}/**/{rel.stem}.raw"))
                 raw_path = cands[0] if cands else None
-            wav_path = out_root / "audio" / label / f"{basename}.wav"
-            if raw_path is not None and not wav_path.exists():
-                raw_to_wav(raw_path, wav_path)
-
             acc_path = ono_path.with_suffix(".acc")
             if not acc_path.exists():
                 if missing_acc == "skip":
-                    continue  # reference 01_format.py:54-59
+                    continue  # reference 01_format.py:54-59 (before any
+                    # audio conversion — no orphan wav for skipped clips)
                 acc = {}
             else:
                 acc = _parse_acc(acc_path)
+
+            wav_path = out_root / "audio" / label / f"{basename}.wav"
+            if raw_path is not None and not wav_path.exists():
+                raw_to_wav(raw_path, wav_path)
 
             for _worker, ono_id_raw, onomatopoeia, self_score in \
                     _parse_ono(ono_path):

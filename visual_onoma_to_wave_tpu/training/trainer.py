@@ -374,11 +374,21 @@ class Trainer:
                     sums[k] += v
                 if wave_gt:
                     import jax.numpy as jnp
+                    mel_lens = np.asarray(batch["mel_lens"])
+                    # Mask batch-pad frames to the mel silence floor before
+                    # vocoding: postnet output at pad positions is arbitrary
+                    # (never masked in the model), and the convolutional
+                    # generator's receptive halo would bleed it into the
+                    # scored tail of every non-longest item — making the
+                    # metric depend on batch composition.
+                    tf = np.array(tf_mel, np.float32)
+                    pad = (np.arange(tf.shape[1])[None, :]
+                           >= mel_lens[:, None])
+                    tf[pad] = float(np.log(1e-5))
                     wavs, _ = vocoder_infer(
-                        self.vocoder_params, jnp.asarray(np.asarray(tf_mel)),
+                        self.vocoder_params, jnp.asarray(tf),
                         gen=voc_gen, model=self.config.model.vocoder_model)
                     wavs = np.asarray(jax.device_get(wavs))
-                    mel_lens = np.asarray(batch["mel_lens"])
                     for b, name in enumerate(batch["names"]):
                         p = wave_gt.get(name)
                         if p is None:
