@@ -73,6 +73,16 @@ def main() -> int:
     print(json.dumps({"metric": "acoustic_floor_corpus",
                       "prep_s": round(time.perf_counter() - t0, 1)}),
           flush=True)
+    # the split router sends clip numbers in dataset.valtest_id
+    # (13/33/53/73/93 by default) to val/test — a too-small --n-per-class
+    # produces an EMPTY val split and the final metrics would all be NaN;
+    # fail before burning the training budget
+    val_rows = (work / "preprocessed" / "val.txt").read_text().splitlines()
+    if not val_rows:
+        raise SystemExit(
+            f"val split is empty (n_per_class={n_per_class} yields no clip "
+            f"numbers in dataset.valtest_id) — raise --n-per-class above "
+            f"the smallest valtest id")
 
     t0 = time.perf_counter()
     cli_main(["train", str(cfg_path)])
