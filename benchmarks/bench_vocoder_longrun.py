@@ -20,7 +20,7 @@ from it): 24 structured bell/drum clips, 4 held out.
 Usage:
     python benchmarks/bench_vocoder_longrun.py \
         [--families vocos,hifigan] [--steps 20000] [--every 2000] \
-        [--ema 0.9999] [--batch 16]
+        [--ema 0.9999] [--batch 16] [--lr 2e-4] [--clip 0] [--disc msd|mrd]
 """
 from __future__ import annotations
 
@@ -57,16 +57,36 @@ def main() -> int:
     ema_decay = 0.9999
     if "--ema" in sys.argv:
         ema_decay = float(sys.argv[sys.argv.index("--ema") + 1])
+    # recipe knobs, mirroring bench_vocoder_quality.py — a BigVGAN arm
+    # needs the paper recipe (--lr 1e-4 --clip 1e3 --disc mrd): the flat
+    # HiFi-GAN 2e-4 recipe diverges it (BASELINE.md)
+    lr = 2e-4
+    if "--lr" in sys.argv:
+        lr = float(sys.argv[sys.argv.index("--lr") + 1])
+    clip = 0.0
+    if "--clip" in sys.argv:
+        clip = float(sys.argv[sys.argv.index("--clip") + 1])
+    disc = "msd"
+    if "--disc" in sys.argv:
+        disc = sys.argv[sys.argv.index("--disc") + 1]
 
     cfg = VocoderTrainConfig(total_steps=steps, batch_size=batch,
                              save_every=10 ** 9,
                              log_every=max(every // 2, 1),
-                             ema_decay=ema_decay)
+                             ema_decay=ema_decay,
+                             learning_rate=lr, grad_clip_norm=clip)
     train_clips, gt, logmel = corpus_and_gt(cfg)
+
+    msd = None
+    if disc == "mrd":
+        from visual_onoma_to_wave_tpu.models.hifigan_disc import (
+            MultiResolutionDiscriminator)
+        msd = MultiResolutionDiscriminator()
 
     for family in families:
         gen = (get_vocoder(family) if family != "hifigan" else None)
-        vt = VocoderTrainer(train_clips, cfg, gen=gen, use_mesh=False)
+        vt = VocoderTrainer(train_clips, cfg, gen=gen, msd=msd,
+                            use_mesh=False)
         score = make_scorer(vt.gen, gt, logmel)
 
         t0 = time.perf_counter()
@@ -81,6 +101,7 @@ def main() -> int:
                     "metric": "vocoder_longrun_quality",
                     "family": family, "step": target, "iterate": tag,
                     "ema_decay": ema_decay, "batch": batch,
+                    "lr": lr, "clip": clip, "disc": disc,
                     "train_wall_s": round(wall, 1),
                     **score(params),
                 }), flush=True)
