@@ -655,3 +655,93 @@ def test_resblock2_family_trains():
     p1 = jax.device_get(state1.gen_params)
     assert any(np.abs(a - b).max() > 0 for a, b in
                zip(jax.tree.leaves(p0), jax.tree.leaves(p1)))
+
+
+class _WatchdogProbe:
+    """Minimal stand-in carrying only the watchdog state — exercises
+    VocoderTrainer._check_divergence without building models."""
+
+    def __init__(self, factor=4.0, patience=5):
+        self.cfg = VocoderTrainConfig(
+            divergence_factor=factor, divergence_patience=patience)
+        self.diverged_at = None
+        self._best_mel_l1 = float("inf")
+        self._bad_windows = 0
+
+    def feed(self, step, mel_l1, g=1.0, d=1.0):
+        m = {"mel_l1": mel_l1, "g_total": g, "d_total": d}
+        return VocoderTrainer._check_divergence(self, step, m)
+
+
+def test_divergence_watchdog_state_machine():
+    """The watchdog fires on the measured collapse signature (mel_l1 stuck
+    at ~8-10x the running best, BASELINE.md 20k arms) exactly once, after
+    the configured patience, and never on healthy GAN noise."""
+    # healthy run: HiFi-GAN V2's worst measured window-to-window noise is
+    # ~2x best (0.30 -> 0.62) — must NOT trigger
+    w = _WatchdogProbe()
+    healthy = [0.62, 0.44, 0.60, 0.43, 0.58, 0.52, 0.37, 0.40, 0.32,
+               0.31, 0.30, 0.39, 0.45, 0.41, 0.44, 0.62, 0.61, 0.60]
+    assert not any(w.feed(100 * (i + 1), v) for i, v in enumerate(healthy))
+    assert w.diverged_at is None
+
+    # collapse: istftnet-mel's measured trajectory shape — converge to
+    # ~0.18, explode to ~2.2 and stay there
+    w = _WatchdogProbe(patience=3)
+    seq = [0.62, 0.31, 0.25, 0.24, 0.18, 2.19, 2.43, 2.04]
+    fired = [w.feed(100 * (i + 1), v) for i, v in enumerate(seq)]
+    # windows 6,7,8 are the 3 consecutive bad ones -> fires at the 8th
+    assert fired == [False] * 7 + [True]
+    assert w.diverged_at == 800
+    # a later window must not re-fire (warn-once semantics)
+    assert w.feed(900, 2.5) is False
+
+    # one-window recovery resets patience (transient spike, not collapse)
+    w = _WatchdogProbe(patience=2)
+    assert not any(w.feed(s, v) for s, v in
+                   [(100, 0.2), (200, 1.5), (300, 0.21), (400, 1.5)])
+    assert w._bad_windows == 1
+
+    # non-finite losses trigger immediately regardless of patience
+    w = _WatchdogProbe(patience=5)
+    assert w.feed(100, 0.2) is False
+    assert w.feed(200, float("nan")) is True
+    assert w.diverged_at == 200
+    w = _WatchdogProbe(patience=5)
+    assert w.feed(100, 0.2) is False
+    assert w.feed(200, 0.2, g=float("inf")) is True
+
+
+def test_on_divergence_validation():
+    with pytest.raises(ValueError, match="on_divergence"):
+        t = np.arange(4096) / 22050.0
+        clip = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+        VocoderTrainer([clip], _tiny_cfg(on_divergence="explode"),
+                       gen=_tiny_gen(), use_mesh=False,
+                       mpd=MultiPeriodDiscriminator(**TINY_MPD),
+                       msd=MultiScaleDiscriminator(**TINY_MSD))
+
+
+def test_on_divergence_halt_stops_and_checkpoints(tmp_path, monkeypatch):
+    """on_divergence='halt' ends train() at the first flagged log window
+    and writes a checkpoint at that step."""
+    t = np.arange(4096) / 22050.0
+    clip = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+    trainer = VocoderTrainer(
+        [clip], _tiny_cfg(log_every=2, on_divergence="halt"),
+        gen=_tiny_gen(), ckpt_dir=tmp_path, use_mesh=False,
+        mpd=MultiPeriodDiscriminator(**TINY_MPD),
+        msd=MultiScaleDiscriminator(**TINY_MSD))
+    calls = []
+
+    def fire(step, m):
+        calls.append(step)
+        trainer.diverged_at = step
+        return True
+
+    monkeypatch.setattr(trainer, "_check_divergence", fire)
+    trainer.train(steps=10)
+    # first log window is step 2 -> halted there, not at 10
+    assert calls == [2]
+    assert int(jax.device_get(trainer.state.step)) == 2
+    assert (tmp_path / "2" / "generator").exists()

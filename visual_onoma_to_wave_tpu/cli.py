@@ -372,7 +372,7 @@ def cmd_train_vocoder(args):
         learning_rate=lr, grad_clip_norm=clip, total_steps=args.steps,
         save_every=args.save_every, seed=args.seed,
         compute_dtype="bfloat16" if args.bf16 else "float32",
-        ema_decay=args.ema_decay)
+        ema_decay=args.ema_decay, on_divergence=args.on_divergence)
     gen = None
     if args.family != "hifigan":
         import jax.numpy as jnp
@@ -640,6 +640,12 @@ def main(argv=None):
     s.add_argument("--bf16", action="store_true",
                    help="mixed-precision GAN step (bf16 conv compute, f32 "
                         "params/losses/DSP): ~1.25x faster on v5e")
+    s.add_argument("--on-divergence", default="warn",
+                   choices=["warn", "halt"],
+                   help="GAN-collapse watchdog action (collapse is silent "
+                        "and does not self-recover — BASELINE.md 20k arms): "
+                        "warn = print/log once; halt = also checkpoint and "
+                        "stop")
     s.add_argument("--ema-decay", type=float, default=0.0,
                    help="exponential-moving-average the generator params "
                         "(0 = off, official recipe; 0.999 for short runs, "

@@ -33,6 +33,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import json
+import math
 import pathlib
 import time
 from typing import Any, Sequence
@@ -97,6 +98,19 @@ class VocoderTrainConfig:
     # docs/PERF.md) — the paper's fix is lr=1e-4 + clip=1e3 (the
     # `cli train-vocoder --family bigvgan` default).
     grad_clip_norm: float = 0.0
+    # Divergence watchdog (evaluated at log_every cadence). GAN collapse is
+    # SILENT: in the measured 20k-step arms (BASELINE.md) a collapsed
+    # generator freezes to a constant output and training happily burns
+    # chips for the remaining 12k+ steps. Detection: any non-finite loss,
+    # or mel_l1 staying above divergence_factor x the running best for
+    # divergence_patience consecutive log windows. Margins validated
+    # against all six 20k arms: healthy GAN noise stays <= ~2x best
+    # (HiFi-GAN V1/V2 worst case), collapse sits at 8-10x.
+    # on_divergence: "warn" prints + logs once; "halt" also checkpoints
+    # and stops the run (trainer.diverged_at records the step).
+    divergence_factor: float = 4.0
+    divergence_patience: int = 5
+    on_divergence: str = "warn"        # "warn" | "halt"
 
 
 @flax.struct.dataclass
@@ -383,6 +397,14 @@ class VocoderTrainer:
         else:
             self.sampler = SegmentSampler(clips, self.cfg)
         self.ckpt_dir = pathlib.Path(ckpt_dir) if ckpt_dir else None
+        # divergence watchdog state (see VocoderTrainConfig.on_divergence)
+        self.diverged_at: int | None = None
+        self._best_mel_l1 = float("inf")
+        self._bad_windows = 0
+        if self.cfg.on_divergence not in ("warn", "halt"):
+            raise ValueError(
+                f"on_divergence must be 'warn' or 'halt', "
+                f"got {self.cfg.on_divergence!r}")
         self.log = None
         if log_dir is not None:
             # primary-only under multi-host (the log dir is shared storage)
@@ -538,6 +560,33 @@ class VocoderTrainer:
                 sampler_state.read_text())
         return int(self.state.step)
 
+    def _check_divergence(self, step: int, m: dict) -> bool:
+        """Update watchdog state from one log window's metrics; return True
+        the first time divergence is detected (non-finite losses trigger
+        immediately; a mel_l1 plateau above divergence_factor x the running
+        best must persist for divergence_patience consecutive windows —
+        ordinary GAN noise recovers within one or two)."""
+        if self.diverged_at is not None:
+            return False                       # already fired once
+        vals = [m.get(k) for k in ("mel_l1", "g_total", "d_total")]
+        finite = all(v is not None and math.isfinite(v) for v in vals)
+        mel = m.get("mel_l1")
+        if finite and mel < self._best_mel_l1:
+            self._best_mel_l1 = mel
+            self._bad_windows = 0
+            return False
+        threshold = self.cfg.divergence_factor * self._best_mel_l1
+        if not finite:
+            self._bad_windows = self.cfg.divergence_patience  # no recovery
+        elif mel > threshold:
+            self._bad_windows += 1
+        else:
+            self._bad_windows = 0
+        if self._bad_windows < self.cfg.divergence_patience:
+            return False
+        self.diverged_at = step
+        return True
+
     def train(self, steps: int | None = None) -> GANTrainState:
         """Train until state.step reaches `steps` (cfg.total_steps default) —
         total-step semantics, so a restored trainer continues seamlessly."""
@@ -566,6 +615,22 @@ class VocoderTrainer:
                 if self.log is not None:
                     self.log.scalars(step, m, prefix="Vocoder")
                     self.log.text(line)
+                if self._check_divergence(step, m):
+                    warn = (f"vocoder DIVERGENCE detected at step {step}: "
+                            f"mel_l1={m['mel_l1']:.4f} vs running best "
+                            f"{self._best_mel_l1:.4f} (factor "
+                            f"{c.divergence_factor}, patience "
+                            f"{c.divergence_patience} windows). GAN collapse "
+                            f"does not self-recover in the measured arms "
+                            f"(BASELINE.md) — restart from the last good "
+                            f"checkpoint with grad_clip_norm=1e3 and/or a "
+                            f"lower learning rate.")
+                    print(warn)
+                    if self.log is not None:
+                        self.log.text(warn)
+                    if c.on_divergence == "halt":
+                        self.save(step)
+                        return self.state
             if step % c.save_every == 0 or step == target:
                 self.save(step)
         return self.state
