@@ -745,3 +745,21 @@ def test_on_divergence_halt_stops_and_checkpoints(tmp_path, monkeypatch):
     assert calls == [2]
     assert int(jax.device_get(trainer.state.step)) == 2
     assert (tmp_path / "2" / "generator").exists()
+
+
+def test_family_recipe_defaults():
+    """family_recipe is the single source of the per-family training
+    defaults the CLI applies (cli.py cmd_train_vocoder): families the
+    flat HiFi-GAN recipe measurably diverges (docs/PERF.md, BASELINE.md)
+    get the stabilized lr/clip; name normalization matches get_vocoder's.
+    """
+    from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
+        family_recipe)
+
+    flat = {"learning_rate": 2e-4, "grad_clip_norm": 0.0, "disc": "msd"}
+    for fam in ("hifigan", "hifigan-v2", "hifigan-v3", "vocos", "melgan"):
+        assert family_recipe(fam) == flat
+
+    stable = {"learning_rate": 1e-4, "grad_clip_norm": 1e3, "disc": "mrd"}
+    for fam in ("bigvgan", "bigvgan-large", "BigVGAN", "big_vgan"):
+        assert family_recipe(fam) == stable

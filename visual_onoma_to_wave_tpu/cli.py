@@ -360,13 +360,15 @@ def cmd_train_vocoder(args):
     from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
         VocoderTrainConfig, VocoderTrainer, load_wav_dir)
 
-    # Family-default recipe: BigVGAN diverges to tanh rails under the
-    # HiFi-GAN flat 2e-4 (measured, docs/PERF.md) — the paper's recipe is
-    # lr 1e-4 + grad-clip 1e3. Explicit --lr/--grad-clip always win.
-    is_bigvgan = args.family.startswith("bigvgan")
-    lr = args.lr if args.lr is not None else (1e-4 if is_bigvgan else 2e-4)
+    # Family-default recipe (training/vocoder_trainer.family_recipe):
+    # the flat HiFi-GAN 2e-4 recipe measurably diverges some families
+    # (docs/PERF.md, BASELINE.md). Explicit --lr/--grad-clip always win.
+    from visual_onoma_to_wave_tpu.training.vocoder_trainer import (
+        family_recipe)
+    recipe = family_recipe(args.family)
+    lr = args.lr if args.lr is not None else recipe["learning_rate"]
     clip = (args.grad_clip if args.grad_clip is not None
-            else (1e3 if is_bigvgan else 0.0))
+            else recipe["grad_clip_norm"])
     cfg = VocoderTrainConfig(
         segment_size=args.segment_size, batch_size=args.batch_size,
         learning_rate=lr, grad_clip_norm=clip, total_steps=args.steps,
@@ -379,8 +381,7 @@ def cmd_train_vocoder(args):
 
         from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
         gen = get_vocoder(args.family, dtype=jnp.dtype(cfg.compute_dtype))
-    disc = args.disc or ("mrd" if args.family.startswith("bigvgan")
-                         else "msd")
+    disc = args.disc or recipe["disc"]
     msd = None
     if disc == "mrd":
         import jax.numpy as jnp

@@ -113,6 +113,27 @@ class VocoderTrainConfig:
     on_divergence: str = "warn"        # "warn" | "halt"
 
 
+def family_recipe(family: str) -> dict:
+    """Measured-safe default training recipe for a generator family:
+    ``{"learning_rate", "grad_clip_norm", "disc"}``.
+
+    The flat HiFi-GAN recipe (lr 2e-4, no clip, MPD+MSD — hifi-gan
+    train.py via /root/reference/scripts/hifigan) is NOT universally
+    stable: BigVGAN diverges to tanh rails within ~1k steps under it
+    (measured, docs/PERF.md), so the bigvgan families default to the
+    paper recipe (lr 1e-4 + global-norm clip 1e3 + MPD+MRD). The
+    20k-step long-run arms (BASELINE.md) showed iSTFTNet-mel collapses
+    the same way at ~7-8k steps under the flat recipe; its default is
+    set from that evidence. Explicit CLI flags / config values always
+    override these defaults.
+    """
+    f = family.lower().replace("-", "").replace("_", "")
+    if f.startswith("bigvgan"):
+        return {"learning_rate": 1e-4, "grad_clip_norm": 1e3,
+                "disc": "mrd"}
+    return {"learning_rate": 2e-4, "grad_clip_norm": 0.0, "disc": "msd"}
+
+
 @flax.struct.dataclass
 class GANTrainState:
     step: jnp.ndarray
