@@ -70,10 +70,16 @@ def main() -> int:
     if "--disc" in sys.argv:
         disc = sys.argv[sys.argv.index("--disc") + 1]
 
+    # divergence watchdog ARMED (round-4 VERDICT: the flat-recipe
+    # istftnet-mel arm burned ~10k steps of frozen output before the
+    # budget ended it) — log_every=250 keeps the detection latency at
+    # ~1.5-3.5k steps for both the late (factor-over-best) and early
+    # (absolute-ceiling past 10 windows = 2.5k steps) collapse shapes
     cfg = VocoderTrainConfig(total_steps=steps, batch_size=batch,
                              save_every=10 ** 9,
-                             log_every=max(every // 2, 1),
+                             log_every=250,
                              ema_decay=ema_decay,
+                             on_divergence="halt",
                              learning_rate=lr, grad_clip_norm=clip)
     train_clips, gt, logmel = corpus_and_gt(cfg)
 
@@ -93,18 +99,30 @@ def main() -> int:
         for target in range(every, steps + 1, every):
             vt.train(steps=target)
             wall = time.perf_counter() - t0
+            actual = int(__import__("jax").device_get(vt.state.step))
             variants = [("raw", vt.state.gen_params)]
             if vt.state.gen_ema is not None:
                 variants.append(("ema", vt.state.gen_ema))
             for tag, params in variants:
                 print(json.dumps({
                     "metric": "vocoder_longrun_quality",
-                    "family": family, "step": target, "iterate": tag,
+                    "family": family, "step": actual, "iterate": tag,
                     "ema_decay": ema_decay, "batch": batch,
                     "lr": lr, "clip": clip, "disc": disc,
                     "train_wall_s": round(wall, 1),
+                    **({"diverged_at": vt.diverged_at}
+                       if vt.diverged_at is not None else {}),
                     **score(params),
                 }), flush=True)
+            if vt.diverged_at is not None:
+                # the watchdog halted the run: the scores above are the
+                # collapsed state (forensics); stop burning the budget
+                print(json.dumps({
+                    "metric": "vocoder_longrun_halted",
+                    "family": family, "diverged_at": vt.diverged_at,
+                    "lr": lr, "clip": clip,
+                }), flush=True)
+                break
     return 0
 
 

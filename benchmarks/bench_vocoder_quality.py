@@ -170,9 +170,15 @@ def main() -> int:
     if "--clip" in sys.argv:  # BigVGAN recipe: 1e3
         clip = float(sys.argv[sys.argv.index("--clip") + 1])
 
+    # watchdog armed with a <=250-step log cadence: effectively inert at
+    # the default 2000-step budget (warmup 10 windows = 2.5k steps) but
+    # stops a >=6k-step arm from burning its budget on a measured-style
+    # collapse (BASELINE.md 20k arms)
     cfg = VocoderTrainConfig(total_steps=steps, batch_size=batch,
-                             save_every=10 ** 9, log_every=max(steps // 4, 1),
+                             save_every=10 ** 9,
+                             log_every=min(max(steps // 4, 1), 250),
                              compute_dtype=dtype, ema_decay=ema_decay,
+                             on_divergence="halt",
                              learning_rate=lr, grad_clip_norm=clip)
     train_clips, gt, logmel = corpus_and_gt(cfg)
 

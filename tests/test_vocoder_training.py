@@ -661,12 +661,19 @@ class _WatchdogProbe:
     """Minimal stand-in carrying only the watchdog state — exercises
     VocoderTrainer._check_divergence without building models."""
 
-    def __init__(self, factor=4.0, patience=5):
+    def __init__(self, factor=4.0, patience=5, ceiling=1.5, warmup=10,
+                 frozen_patience=3):
         self.cfg = VocoderTrainConfig(
-            divergence_factor=factor, divergence_patience=patience)
+            divergence_factor=factor, divergence_patience=patience,
+            divergence_mel_ceiling=ceiling,
+            divergence_warmup_windows=warmup,
+            frozen_patience=frozen_patience)
         self.diverged_at = None
         self._best_mel_l1 = float("inf")
         self._bad_windows = 0
+        self._windows_seen = 0
+        self._last_mel = None
+        self._frozen_windows = 0
 
     def feed(self, step, mel_l1, g=1.0, d=1.0):
         m = {"mel_l1": mel_l1, "g_total": g, "d_total": d}
@@ -710,6 +717,98 @@ def test_divergence_watchdog_state_machine():
     w = _WatchdogProbe(patience=5)
     assert w.feed(100, 0.2) is False
     assert w.feed(200, 0.2, g=float("inf")) is True
+
+
+def test_divergence_watchdog_early_collapse_ceiling():
+    """EARLY collapse (ADVICE r04): a run that rails out BEFORE mel_l1
+    ever converges (BigVGAN flat-recipe signature: finite losses pinned
+    at mel L1 ~2.0-2.2 from ~1k steps) keeps setting marginal 'bests' at
+    the collapsed level, so factor-over-best alone never fires. Past the
+    warmup, values above the absolute ceiling count as bad windows even
+    when they are the running best."""
+    w = _WatchdogProbe(patience=3, warmup=2)
+    rail = [2.41, 2.16, 2.04, 2.21, 2.08, 2.19, 2.33]
+    # windows 1-2 are warmup; windows 3,4,5 are the 3 bad ones -> fires
+    # at the 5th (2.04 at window 3 IS a new best — still bad: > ceiling)
+    fired = [w.feed(100 * (i + 1), v) for i, v in enumerate(rail)]
+    assert fired == [False, False, False, False, True, False, False]
+    assert w.diverged_at == 500
+
+    # a healthy run passing high values only during warmup never fires
+    w = _WatchdogProbe(patience=3, warmup=2)
+    healthy = [6.4, 2.8, 1.2, 0.8, 0.52, 0.61, 0.43, 0.50]
+    assert not any(w.feed(100 * (i + 1), v) for i, v in enumerate(healthy))
+    assert w.diverged_at is None
+
+
+def test_divergence_watchdog_frozen_metrics():
+    """Bit-identical mel_l1 across frozen_patience+1 consecutive windows
+    fires (random segment sampling makes healthy per-window losses vary);
+    a single repeat does not."""
+    w = _WatchdogProbe(frozen_patience=3)
+    seq = [0.62, 0.44, 0.44, 0.31, 0.29]          # one repeat: fine
+    assert not any(w.feed(100 * (i + 1), v) for i, v in enumerate(seq))
+    w = _WatchdogProbe(frozen_patience=3)
+    fired = [w.feed(100 * (i + 1), v)
+             for i, v in enumerate([0.62, 0.31, 0.31, 0.31, 0.31])]
+    assert fired == [False, False, False, False, True]
+    assert w.diverged_at == 500
+
+
+def test_halted_trainer_does_not_resume(tmp_path, monkeypatch):
+    """After a halt, further train() calls return immediately — the
+    long-run benches drive train() in increments and must not silently
+    resume a collapsed run."""
+    t = np.arange(4096) / 22050.0
+    clip = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+    trainer = VocoderTrainer(
+        [clip], _tiny_cfg(log_every=2, on_divergence="halt"),
+        gen=_tiny_gen(), ckpt_dir=tmp_path, use_mesh=False,
+        mpd=MultiPeriodDiscriminator(**TINY_MPD),
+        msd=MultiScaleDiscriminator(**TINY_MSD))
+    monkeypatch.setattr(trainer, "_check_divergence",
+                        lambda step, m: trainer.__setattr__(
+                            "diverged_at", step) or True)
+    trainer.train(steps=10)
+    assert int(jax.device_get(trainer.state.step)) == 2
+    trainer.train(steps=10)                        # must be a no-op
+    assert int(jax.device_get(trainer.state.step)) == 2
+
+
+def test_halt_writes_last_healthy_snapshot(tmp_path, monkeypatch):
+    """Halt mode keeps a rolling host-side generator snapshot at healthy
+    log windows and writes it as generator_last_healthy next to the
+    diverged-state checkpoint (ADVICE r04: with a large save_every there
+    is otherwise no good checkpoint to restart from)."""
+    t = np.arange(4096) / 22050.0
+    clip = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+    trainer = VocoderTrainer(
+        [clip], _tiny_cfg(log_every=2, on_divergence="halt",
+                          healthy_snapshot_windows=1, save_every=10 ** 9),
+        gen=_tiny_gen(), ckpt_dir=tmp_path, use_mesh=False,
+        mpd=MultiPeriodDiscriminator(**TINY_MPD),
+        msd=MultiScaleDiscriminator(**TINY_MSD))
+    # healthy for the first two windows (snapshots at steps 2 and 4),
+    # diverged at the third
+    def fire_third(step, m):
+        if step >= 6:
+            trainer.diverged_at = step
+            return True
+        return False
+
+    monkeypatch.setattr(trainer, "_check_divergence", fire_third)
+    trainer.train(steps=10)
+    assert trainer.diverged_at == 6
+    assert (tmp_path / "6" / "generator").exists()          # forensics
+    assert (tmp_path / "6" / "generator_last_healthy").exists()
+    # the snapshot is the step-4 healthy state, loadable as a generator
+    from visual_onoma_to_wave_tpu.utils.checkpoint import load_params
+    snap = load_params(tmp_path / "6" / "generator_last_healthy",
+                       template=jax.device_get(trainer.state.gen_params))
+    assert trainer._healthy_snapshot[0] == 4
+    diverged = jax.device_get(trainer.state.gen_params)
+    assert any(np.abs(a - b).max() > 0 for a, b in
+               zip(jax.tree.leaves(snap), jax.tree.leaves(diverged)))
 
 
 def test_on_divergence_validation():

@@ -641,12 +641,16 @@ def main(argv=None):
     s.add_argument("--bf16", action="store_true",
                    help="mixed-precision GAN step (bf16 conv compute, f32 "
                         "params/losses/DSP): ~1.25x faster on v5e")
-    s.add_argument("--on-divergence", default="warn",
-                   choices=["warn", "halt"],
+    s.add_argument("--on-divergence", default="halt",
+                   choices=["halt", "warn"],
                    help="GAN-collapse watchdog action (collapse is silent "
-                        "and does not self-recover — BASELINE.md 20k arms): "
-                        "warn = print/log once; halt = also checkpoint and "
-                        "stop")
+                        "and does not self-recover — the measured flat-"
+                        "recipe istftnet-mel arm burned ~10k steps of "
+                        "frozen output after collapsing, BASELINE.md 20k "
+                        "arms): halt (default) = checkpoint the diverged "
+                        "state plus a rolling generator_last_healthy "
+                        "artifact and stop; warn = print/log once and keep "
+                        "training")
     s.add_argument("--ema-decay", type=float, default=0.0,
                    help="exponential-moving-average the generator params "
                         "(0 = off, official recipe; 0.999 for short runs, "

@@ -110,7 +110,30 @@ class VocoderTrainConfig:
     # and stops the run (trainer.diverged_at records the step).
     divergence_factor: float = 4.0
     divergence_patience: int = 5
-    on_divergence: str = "warn"        # "warn" | "halt"
+    on_divergence: str = "halt"        # "halt" | "warn"
+    # Secondary collapse triggers. The factor-over-best rule alone misses
+    # an EARLY collapse: before mel_l1 ever converges, the running best IS
+    # the collapsed level (BigVGAN's flat-recipe tanh rails sit at mel L1
+    # ~2.0-2.2 with finite losses from ~1k steps — docs/PERF.md), so
+    # 4x-best never trips. Two additional signals:
+    #  * absolute ceiling: once past divergence_warmup_windows log
+    #    windows, mel_l1 above divergence_mel_ceiling counts as a bad
+    #    window even if it is the running best — every measured healthy
+    #    arm is well under 1.5 within a few hundred steps; the measured
+    #    collapses pin >= 2.0 (BASELINE.md 20k arms).
+    #  * frozen metrics: mel_l1 bit-identical across frozen_patience+1
+    #    consecutive windows — random segment sampling makes a healthy
+    #    (even plateaued) run's per-window loss vary, so exact repetition
+    #    means the output (or the device) is stuck.
+    divergence_mel_ceiling: float = 1.5
+    divergence_warmup_windows: int = 10
+    frozen_patience: int = 3
+    # Rolling last-healthy snapshot (halt mode only): every N healthy log
+    # windows, keep a host-side copy of the generator (+EMA) so the halt
+    # checkpoint can include a usable `generator_last_healthy` artifact —
+    # the state at the halt step is already diverged, and with a large
+    # save_every no earlier periodic checkpoint may exist. 0 = off.
+    healthy_snapshot_windows: int = 20
 
 
 def family_recipe(family: str) -> dict:
@@ -123,9 +146,12 @@ def family_recipe(family: str) -> dict:
     (measured, docs/PERF.md), so the bigvgan families default to the
     paper recipe (lr 1e-4 + global-norm clip 1e3 + MPD+MRD). The
     20k-step long-run arms (BASELINE.md) showed iSTFTNet-mel collapses
-    the same way at ~7-8k steps under the flat recipe; its default is
-    set from that evidence. Explicit CLI flags / config values always
-    override these defaults.
+    the same way at ~7-8k steps under the flat recipe; the stabilized-
+    recipe validation arm for that family decides its default here
+    (round-5 item — until it lands, istftnet* still returns the flat
+    recipe whose short-budget numbers stand, and the divergence
+    watchdog covers long runs). Explicit CLI flags / config values
+    always override these defaults.
     """
     f = family.lower().replace("-", "").replace("_", "")
     if f.startswith("bigvgan"):
@@ -422,6 +448,12 @@ class VocoderTrainer:
         self.diverged_at: int | None = None
         self._best_mel_l1 = float("inf")
         self._bad_windows = 0
+        self._windows_seen = 0
+        self._last_mel: float | None = None
+        self._frozen_windows = 0
+        self._healthy_windows = 0
+        # (step, gen_params host tree, gen_ema host tree | None)
+        self._healthy_snapshot: tuple | None = None
         if self.cfg.on_divergence not in ("warn", "halt"):
             raise ValueError(
                 f"on_divergence must be 'warn' or 'halt', "
@@ -583,35 +615,98 @@ class VocoderTrainer:
 
     def _check_divergence(self, step: int, m: dict) -> bool:
         """Update watchdog state from one log window's metrics; return True
-        the first time divergence is detected (non-finite losses trigger
-        immediately; a mel_l1 plateau above divergence_factor x the running
-        best must persist for divergence_patience consecutive windows —
-        ordinary GAN noise recovers within one or two)."""
+        the first time divergence is detected. Triggers:
+          * non-finite losses — immediate;
+          * LATE collapse: mel_l1 above divergence_factor x the running
+            best for divergence_patience consecutive windows (ordinary GAN
+            noise recovers within one or two — measured margins in the
+            VocoderTrainConfig docstring);
+          * EARLY collapse: past divergence_warmup_windows, mel_l1 above
+            the absolute divergence_mel_ceiling counts as a bad window
+            even while it is still the running best (a flat-recipe BigVGAN
+            rails out at ~2.0-2.2 before any healthy best exists);
+          * frozen metrics: mel_l1 bit-identical across frozen_patience+1
+            consecutive windows.
+        """
         if self.diverged_at is not None:
             return False                       # already fired once
+        c = self.cfg
         vals = [m.get(k) for k in ("mel_l1", "g_total", "d_total")]
         finite = all(v is not None and math.isfinite(v) for v in vals)
         mel = m.get("mel_l1")
-        if finite and mel < self._best_mel_l1:
-            self._best_mel_l1 = mel
-            self._bad_windows = 0
-            return False
-        threshold = self.cfg.divergence_factor * self._best_mel_l1
-        if not finite:
-            self._bad_windows = self.cfg.divergence_patience  # no recovery
-        elif mel > threshold:
-            self._bad_windows += 1
+        self._windows_seen += 1
+        if finite and self._last_mel is not None and mel == self._last_mel:
+            self._frozen_windows += 1
         else:
-            self._bad_windows = 0
-        if self._bad_windows < self.cfg.divergence_patience:
+            self._frozen_windows = 0
+        self._last_mel = mel if finite else None
+        if not finite:
+            self._bad_windows = c.divergence_patience      # no recovery
+        else:
+            if mel < self._best_mel_l1:
+                self._best_mel_l1 = mel
+                bad = False
+            else:
+                bad = mel > c.divergence_factor * self._best_mel_l1
+            if (self._windows_seen > c.divergence_warmup_windows
+                    and mel > c.divergence_mel_ceiling):
+                bad = True                                 # early collapse
+            self._bad_windows = self._bad_windows + 1 if bad else 0
+        if (self._bad_windows < c.divergence_patience
+                and self._frozen_windows < c.frozen_patience):
             return False
         self.diverged_at = step
         return True
+
+    def _maybe_snapshot_healthy(self) -> None:
+        """Halt-mode rolling snapshot: keep a host-side generator (+EMA)
+        copy every healthy_snapshot_windows fully-healthy log windows so a
+        later halt can write `generator_last_healthy` (the halt-step state
+        is already diverged; with a large save_every no earlier periodic
+        checkpoint may exist — ADVICE r04)."""
+        c = self.cfg
+        if (c.on_divergence != "halt" or c.healthy_snapshot_windows <= 0
+                or self.ckpt_dir is None or self.diverged_at is not None
+                or self._bad_windows or self._frozen_windows):
+            return
+        self._healthy_windows += 1
+        if self._healthy_windows % c.healthy_snapshot_windows:
+            return
+        step = int(jax.device_get(self.state.step))
+        ema = (jax.device_get(self.state.gen_ema)
+               if self.state.gen_ema is not None else None)
+        self._healthy_snapshot = (
+            step, jax.device_get(self.state.gen_params), ema)
+
+    def _save_last_healthy(self, halt_step: int) -> str:
+        """Write the rolling healthy snapshot (if any) next to the halt
+        checkpoint as `generator_last_healthy[_ema]`; returns a one-line
+        description for the halt message."""
+        if self.ckpt_dir is None:
+            return "no ckpt_dir configured"
+        if self._healthy_snapshot is None:
+            return ("no healthy snapshot was taken "
+                    "(healthy_snapshot_windows=0 or the run never completed "
+                    "a healthy window) — restart from the last periodic "
+                    "checkpoint")
+        from visual_onoma_to_wave_tpu.utils.checkpoint import save_params
+        hstep, hgen, hema = self._healthy_snapshot
+        d = self.ckpt_dir / f"{halt_step}"
+        save_params(d / "generator_last_healthy", hgen)
+        if hema is not None:
+            save_params(d / "generator_last_healthy_ema", hema)
+        return (f"generator_last_healthy (step {hstep}) is saved alongside "
+                f"it — serve/resume from that artifact")
 
     def train(self, steps: int | None = None) -> GANTrainState:
         """Train until state.step reaches `steps` (cfg.total_steps default) —
         total-step semantics, so a restored trainer continues seamlessly."""
         c = self.cfg
+        if self.diverged_at is not None and c.on_divergence == "halt":
+            # a halted trainer stays halted: callers that drive train() in
+            # increments (the long-run benches) must not silently resume
+            # burning steps on a collapsed run
+            return self.state
         target = steps if steps is not None else c.total_steps
         step = int(jax.device_get(self.state.step))
         done0 = step
@@ -643,15 +738,21 @@ class VocoderTrainer:
                             f"{c.divergence_factor}, patience "
                             f"{c.divergence_patience} windows). GAN collapse "
                             f"does not self-recover in the measured arms "
-                            f"(BASELINE.md) — restart from the last good "
+                            f"(BASELINE.md) — restart from a healthy "
                             f"checkpoint with grad_clip_norm=1e3 and/or a "
-                            f"lower learning rate.")
+                            f"lower learning rate (family_recipe has the "
+                            f"measured-safe defaults).")
                     print(warn)
                     if self.log is not None:
                         self.log.text(warn)
                     if c.on_divergence == "halt":
                         self.save(step)
+                        note = self._save_last_healthy(step)
+                        print(f"vocoder halt: the step-{step} checkpoint is "
+                              f"the DIVERGED state (forensics only); {note}")
                         return self.state
+                else:
+                    self._maybe_snapshot_healthy()
             if step % c.save_every == 0 or step == target:
                 self.save(step)
         return self.state
