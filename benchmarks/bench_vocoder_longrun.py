@@ -69,6 +69,17 @@ def main() -> int:
     disc = "msd"
     if "--disc" in sys.argv:
         disc = sys.argv[sys.argv.index("--disc") + 1]
+    # watchdog margins: the defaults (4x / 5 windows) are validated on the
+    # 20k arms; a 200k reference-regime run can widen them (e.g. --factor 6
+    # --patience 8) so a late healthy transient cannot cost the run — the
+    # measured collapses sit at 8-10x best and never recover, so they are
+    # still caught within ~2k steps at log_every=250
+    factor = 4.0
+    if "--factor" in sys.argv:
+        factor = float(sys.argv[sys.argv.index("--factor") + 1])
+    patience = 5
+    if "--patience" in sys.argv:
+        patience = int(sys.argv[sys.argv.index("--patience") + 1])
 
     # divergence watchdog ARMED (round-4 VERDICT: the flat-recipe
     # istftnet-mel arm burned ~10k steps of frozen output before the
@@ -80,6 +91,8 @@ def main() -> int:
                              log_every=250,
                              ema_decay=ema_decay,
                              on_divergence="halt",
+                             divergence_factor=factor,
+                             divergence_patience=patience,
                              learning_rate=lr, grad_clip_norm=clip)
     train_clips, gt, logmel = corpus_and_gt(cfg)
 

@@ -1,15 +1,24 @@
-"""Objective quality of the committed demo checkpoint (BASELINE.md row).
+"""Objective quality of the committed demo checkpoints (BASELINE.md row).
 
 Rebuilds the deterministic synthetic demo corpus (same generator + seed as
-examples/train_demo_artifacts.py), preprocesses it, loads the COMMITTED
-acoustic params, and reports `Trainer.evaluate(metrics=True)` over the val
-split: teacher-forced mel_l1 + MCD (dB) and free-running DTW-aligned MCD
-(dB) — the machine-checkable quality axis the reference lacks (its
-evaluate.py only logs audio for human listening).
+examples/train_demo_artifacts.py), preprocesses it (--save-audio), loads
+the COMMITTED acoustic params, and reports `Trainer.evaluate(metrics=True)`
+over the val split: teacher-forced mel_l1 + MCD (dB) and free-running
+DTW-aligned MCD (dB) — the machine-checkable quality axis the reference
+lacks (its evaluate.py only logs audio for human listening).
+
+It then scores ALL THREE committed vocoder checkpoints (HiFi-GAN,
+iSTFTNet-mel, Vocos) by copy-synthesis on the val clips — vocode each
+clip's ground-truth log-mel and compare the delivered waveform against the
+trimmed ground-truth audio in BOTH domains: mel re-analysis (mel L1, MCD)
+and multi-resolution STFT distance (mrstft sc/mag) — so the waveform-domain
+metric that reversed the family ranking (BASELINE.md round-4 re-ranking
+row) also guards the committed artifacts.
 
     python benchmarks/eval_quality_demo.py [--cpu] [--work DIR]
 
-Prints ONE JSON line with the metric means.
+Prints ONE JSON line with the metric means; every value is asserted
+finite.
 """
 from __future__ import annotations
 
@@ -52,7 +61,7 @@ def main() -> int:
     cfg_path.write_text(json.dumps(cfg_dict))
     for argv in (["format", str(cfg_path), str(raw_root)],
                  ["prepare-tg", str(cfg_path)],
-                 ["preprocess", str(cfg_path)]):
+                 ["preprocess", str(cfg_path), "--save-audio"]):
         rc = cli_main(argv)
         if rc not in (0, None):
             raise RuntimeError(f"cli {argv[0]} failed rc={rc}")
@@ -83,9 +92,116 @@ def main() -> int:
     means["val_items"] = sum(
         1 for line in (work / "preprocessed" / "val.txt")
         .read_text().splitlines() if line.strip())
-    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
-                      for k, v in means.items()}))
+
+    # --- copy-synthesis gate for the three committed vocoders ------------
+    means["vocoders"] = _score_committed_vocoders(
+        pathlib.Path(args.demo), work, cfg.audio)
+
+    def _walk_finite(v, path=""):
+        if isinstance(v, dict):
+            for k, x in v.items():
+                _walk_finite(x, f"{path}.{k}")
+        elif isinstance(v, float):
+            assert v == v and abs(v) != float("inf"), \
+                f"non-finite metric at {path}: {v}"
+    _walk_finite(means)
+
+    def _round(v):
+        if isinstance(v, dict):
+            return {k: _round(x) for k, x in v.items()}
+        return round(v, 4) if isinstance(v, float) else v
+    print(json.dumps(_round(means)))
     return 0
+
+
+def _score_committed_vocoders(demo: pathlib.Path, work: pathlib.Path,
+                              audio_cfg) -> dict:
+    """Copy-synthesis quality of each committed vocoder checkpoint over the
+    demo val clips: GT audio -> log-mel -> vocoder -> waveform, scored in
+    the mel domain (re-analysis mel L1 / MCD) and the waveform domain
+    (multi-resolution STFT distance)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from visual_onoma_to_wave_tpu.metrics import (
+        mcd_frames, mel_l1, mrstft_distance)
+    from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
+    from visual_onoma_to_wave_tpu.ops.stft import (
+        hann_window, logmel_and_energy, melscale_fbanks)
+    from visual_onoma_to_wave_tpu.utils.checkpoint import load_params
+
+    hop = audio_cfg.stft.hop_length
+    window = jnp.asarray(hann_window(audio_cfg.stft.win_length))
+    fb = jnp.asarray(melscale_fbanks(
+        audio_cfg.stft.filter_length // 2 + 1, audio_cfg.mel.mel_fmin,
+        audio_cfg.mel.mel_fmax, audio_cfg.mel.n_mel_channels,
+        audio_cfg.sampling_rate))
+
+    @jax.jit
+    def logmel(audio):
+        m, _ = logmel_and_energy(audio, window, fb,
+                                 audio_cfg.stft.filter_length, hop,
+                                 audio_cfg.stft.win_length)
+        return m                                         # (B, n_mels, T)
+
+    # val clips with saved trimmed audio (feature-space augmentations have
+    # none — preprocess --save-audio writes originals only)
+    audio_root = work / "preprocessed" / "audio"
+    gt = []
+    for line in (work / "preprocessed" / "val.txt").read_text().splitlines():
+        if not line.strip():
+            continue
+        name, label = line.split("|")[:2]
+        p = audio_root / label / f"{name}.npy"
+        if not p.exists():
+            continue
+        wav = np.asarray(np.load(p), np.float32)
+        t = len(wav) // hop
+        gt.append(wav[: t * hop])
+    assert gt, "no val clips with saved audio — preprocess --save-audio?"
+
+    # (json tag, committed config file, checkpoint dir)
+    committed = [("hifigan", "config.json", "vocoder"),
+                 ("istftnet_mel", "config_istftnet.json",
+                  "vocoder_istftnet_mel"),
+                 ("vocos", "config_vocos.json", "vocoder_vocos")]
+    out = {}
+    for tag, cfg_file, ckpt in committed:
+        model_blk = json.load(open(demo / cfg_file))["model"]
+        family = model_blk.get("vocoder_model") or "HiFi-GAN"
+        gen = get_vocoder(family, **dict(model_blk.get("vocoder_kwargs")
+                                         or {}))
+        params = load_params(demo / ckpt)
+
+        @jax.jit
+        def vocode(p, mel_bt):
+            return gen.apply(p, mel_bt)                  # (B, T*hop)
+
+        l1s, mcds, scs, mags = [], [], [], []
+        for audio in gt:
+            m = np.asarray(jax.device_get(
+                logmel(jnp.asarray(audio)[None])))[0]    # (n_mels, T)
+            t = len(audio) // hop
+            wav = np.asarray(jax.device_get(
+                vocode(params, jnp.asarray(m[:, :t].T)[None])))[0]
+            wav = np.clip(wav[: len(audio)], -1.0, 1.0)
+            m2 = np.asarray(jax.device_get(
+                logmel(jnp.asarray(wav)[None])))[0]
+            tt = min(m.shape[1], m2.shape[1])
+            l1s.append(mel_l1(m2[:, :tt].T, m[:, :tt].T))
+            mcds.append(mcd_frames(m2[:, :tt].T, m[:, :tt].T))
+            d = mrstft_distance(wav, audio)
+            scs.append(d["sc"])
+            mags.append(d["mag"])
+        out[tag] = {"family": family,
+                    "mel_l1": float(np.mean(l1s)),
+                    "mcd_db": float(np.mean(mcds)),
+                    "mrstft_sc": float(np.mean(scs)),
+                    "mrstft_mag": float(np.mean(mags)),
+                    "mrstft": float(np.mean(scs) + np.mean(mags)),
+                    "clips": len(gt)}
+    return out
 
 
 if __name__ == "__main__":

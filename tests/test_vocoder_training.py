@@ -862,3 +862,12 @@ def test_family_recipe_defaults():
     stable = {"learning_rate": 1e-4, "grad_clip_norm": 1e3, "disc": "mrd"}
     for fam in ("bigvgan", "bigvgan-large", "BigVGAN", "big_vgan"):
         assert family_recipe(fam) == stable
+
+    # the istftnet families collapse at ~7-8k steps under the flat recipe
+    # and ran a healthy 20k under lr 1e-4 + clip 1e3 (BASELINE.md round-5
+    # stabilized arm) — their default is the stabilized recipe with the
+    # HiFi-GAN MPD+MSD discriminator pair
+    stable_msd = {"learning_rate": 1e-4, "grad_clip_norm": 1e3,
+                  "disc": "msd"}
+    for fam in ("istftnet", "istftnet-mel", "iSTFTNet-mel", "istftnet_mel"):
+        assert family_recipe(fam) == stable_msd

@@ -146,17 +146,22 @@ def family_recipe(family: str) -> dict:
     (measured, docs/PERF.md), so the bigvgan families default to the
     paper recipe (lr 1e-4 + global-norm clip 1e3 + MPD+MRD). The
     20k-step long-run arms (BASELINE.md) showed iSTFTNet-mel collapses
-    the same way at ~7-8k steps under the flat recipe; the stabilized-
-    recipe validation arm for that family decides its default here
-    (round-5 item — until it lands, istftnet* still returns the flat
-    recipe whose short-budget numbers stand, and the divergence
-    watchdog covers long runs). Explicit CLI flags / config values
-    always override these defaults.
+    the same way at ~7-8k steps under the flat recipe, and the round-5
+    stabilized-recipe arm (lr 1e-4 + clip 1e3, MPD+MSD) ran the same
+    20k healthily with BETTER quality from 4k on (mrstft 3.83-4.1 vs
+    the flat arm's 4.10-4.39 pre-collapse band) — so the istftnet
+    families default to that measured-safe recipe (shared iSTFT head
+    ⇒ shared risk; Vocos also has the head but its flat 20k arm was
+    healthy, so it keeps the flat default). Explicit CLI flags /
+    config values always override these defaults.
     """
     f = family.lower().replace("-", "").replace("_", "")
     if f.startswith("bigvgan"):
         return {"learning_rate": 1e-4, "grad_clip_norm": 1e3,
                 "disc": "mrd"}
+    if f.startswith("istftnet"):
+        return {"learning_rate": 1e-4, "grad_clip_norm": 1e3,
+                "disc": "msd"}
     return {"learning_rate": 2e-4, "grad_clip_norm": 0.0, "disc": "msd"}
 
 
