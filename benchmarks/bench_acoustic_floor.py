@@ -252,7 +252,9 @@ def _free_running_full_stack(trainer, gen, params) -> dict:
                     ("audiotypes", "texts", "src_lens", "image_cells")
                     if k in jb}
         out = trainer.synth_step(trainer.state, infer_in)
-        fr_mel = np.asarray(jax.device_get(out["postnet_mel"]), np.float32)
+        # np.array (copy): device_get views are read-only, the pad mask
+        # below writes in place
+        fr_mel = np.array(jax.device_get(out["postnet_mel"]), np.float32)
         fr_lens = np.asarray(jax.device_get(out["mel_lens"]))
         # mask batch-pad frames to the mel floor before vocoding (same
         # receptive-halo bleed fix as Trainer.evaluate's TF pass)
