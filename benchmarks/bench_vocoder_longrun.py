@@ -80,6 +80,13 @@ def main() -> int:
     patience = 5
     if "--patience" in sys.argv:
         patience = int(sys.argv[sys.argv.index("--patience") + 1])
+    # --ckpt DIR: periodic checkpoints at the scoring cadence + auto-resume
+    # from the latest one — a 200k reference-regime arm runs ~5.5 h over a
+    # tunnel that has measured multi-hour outages (CLAUDE.md), so an
+    # interrupted run must cost at most one scoring window, not the run
+    ckpt_root = None
+    if "--ckpt" in sys.argv:
+        ckpt_root = pathlib.Path(sys.argv[sys.argv.index("--ckpt") + 1])
 
     # divergence watchdog ARMED (round-4 VERDICT: the flat-recipe
     # istftnet-mel arm burned ~10k steps of frozen output before the
@@ -87,7 +94,7 @@ def main() -> int:
     # ~1.5-3.5k steps for both the late (factor-over-best) and early
     # (absolute-ceiling past 10 windows = 2.5k steps) collapse shapes
     cfg = VocoderTrainConfig(total_steps=steps, batch_size=batch,
-                             save_every=10 ** 9,
+                             save_every=every if ckpt_root else 10 ** 9,
                              log_every=250,
                              ema_decay=ema_decay,
                              on_divergence="halt",
@@ -104,13 +111,31 @@ def main() -> int:
 
     for family in families:
         gen = (get_vocoder(family) if family != "hifigan" else None)
+        ckpt_dir = ckpt_root / family if ckpt_root else None
         vt = VocoderTrainer(train_clips, cfg, gen=gen, msd=msd,
-                            use_mesh=False)
+                            ckpt_dir=ckpt_dir, use_mesh=False)
+        done = 0
+        if ckpt_dir is not None and ckpt_dir.is_dir() and any(
+                p.is_dir() and p.name.isdigit() for p in ckpt_dir.iterdir()):
+            done = vt.restore()
+            print(json.dumps({"metric": "vocoder_longrun_resumed",
+                              "family": family, "step": done}), flush=True)
         score = make_scorer(vt.gen, gt, logmel)
 
         t0 = time.perf_counter()
         for target in range(every, steps + 1, every):
+            if target <= done:
+                continue                  # already scored before the resume
             vt.train(steps=target)
+            if ckpt_dir is not None:
+                # keep only the two newest periodic checkpoints (~1.6 GB
+                # each at iSTFTNet-mel size): resume only ever needs the
+                # latest; the previous one guards a mid-save crash
+                kept = sorted((int(p.name) for p in ckpt_dir.iterdir()
+                               if p.is_dir() and p.name.isdigit()))
+                for old in kept[:-2]:
+                    import shutil
+                    shutil.rmtree(ckpt_dir / str(old))
             wall = time.perf_counter() - t0
             actual = int(__import__("jax").device_get(vt.state.step))
             variants = [("raw", vt.state.gen_params)]
