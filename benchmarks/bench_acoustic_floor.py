@@ -123,7 +123,7 @@ def main() -> int:
     train_s = time.perf_counter() - t0
 
     # end-to-end phase: train a vocoder on the SAME corpus' train audio
-    voc_gen = voc_params = None
+    voc_gen = voc_params = voc_div = None
     if vocoder_steps:
         voc_gen, voc_params, voc_wall, voc_div = _train_vocoder(
             work, vocoder_family, vocoder_steps)
@@ -161,6 +161,10 @@ def main() -> int:
             "metric": "e2e_waveform_floor",
             "acoustic_steps": steps, "vocoder_family": vocoder_family,
             "vocoder_steps": vocoder_steps,
+            # a watchdog halt means every full-stack number below went
+            # through the COLLAPSED generator — not a usable floor
+            **({"vocoder_diverged_at": voc_div}
+               if voc_div is not None else {}),
             # teacher-forced full stack (from evaluate, exactly aligned)
             "tf_mrstft_sc": round(float(means["mrstft_sc"]), 4),
             "tf_mrstft_mag": round(float(means["mrstft_mag"]), 4),

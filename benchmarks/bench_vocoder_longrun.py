@@ -112,22 +112,43 @@ def main() -> int:
     for family in families:
         gen = (get_vocoder(family) if family != "hifigan" else None)
         ckpt_dir = ckpt_root / family if ckpt_root else None
+        done, prior_wall = 0, 0.0
+        ckpt_steps = (sorted(int(p.name) for p in ckpt_dir.iterdir()
+                             if p.is_dir() and p.name.isdigit())
+                      if ckpt_dir is not None and ckpt_dir.is_dir() else [])
+        if ckpt_steps and (ckpt_dir / str(ckpt_steps[-1])
+                           / "HALTED.json").exists():
+            # the previous process halted on divergence: the latest
+            # checkpoint is the collapsed state (restore() refuses it) —
+            # report and move on instead of re-burning the budget
+            print(json.dumps({
+                "metric": "vocoder_longrun_halted", "family": family,
+                "diverged_at": ckpt_steps[-1], "lr": lr, "clip": clip,
+                "note": "halt marker found on disk; not resuming"}),
+                flush=True)
+            continue
         vt = VocoderTrainer(train_clips, cfg, gen=gen, msd=msd,
                             ckpt_dir=ckpt_dir, use_mesh=False)
-        done = 0
-        if ckpt_dir is not None and ckpt_dir.is_dir() and any(
-                p.is_dir() and p.name.isdigit() for p in ckpt_dir.iterdir()):
+        if ckpt_steps:
             done = vt.restore()
+            wall_file = ckpt_dir / "wall.json"
+            if wall_file.exists():
+                prior_wall = json.loads(wall_file.read_text())["wall_s"]
             print(json.dumps({"metric": "vocoder_longrun_resumed",
-                              "family": family, "step": done}), flush=True)
+                              "family": family, "step": done,
+                              "prior_wall_s": round(prior_wall, 1)}),
+                  flush=True)
         score = make_scorer(vt.gen, gt, logmel)
 
-        t0 = time.perf_counter()
+        t0 = time.perf_counter() - prior_wall
         for target in range(every, steps + 1, every):
             if target <= done:
                 continue                  # already scored before the resume
             vt.train(steps=target)
+            wall = time.perf_counter() - t0
             if ckpt_dir is not None:
+                (ckpt_dir / "wall.json").write_text(
+                    json.dumps({"wall_s": wall}))
                 # keep only the two newest periodic checkpoints (~1.6 GB
                 # each at iSTFTNet-mel size): resume only ever needs the
                 # latest; the previous one guards a mid-save crash
@@ -136,7 +157,6 @@ def main() -> int:
                 for old in kept[:-2]:
                     import shutil
                     shutil.rmtree(ckpt_dir / str(old))
-            wall = time.perf_counter() - t0
             actual = int(__import__("jax").device_get(vt.state.step))
             variants = [("raw", vt.state.gen_params)]
             if vt.state.gen_ema is not None:

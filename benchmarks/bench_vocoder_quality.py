@@ -205,6 +205,10 @@ def main() -> int:
             print(json.dumps({
                 "metric": "vocoder_copy_synthesis_quality",
                 "family": family, "steps": steps, "batch": batch,
+                # a watchdog halt means the scores below are the COLLAPSED
+                # state at diverged_at, not a steps-budget result
+                **({"diverged_at": vt.diverged_at}
+                   if vt.diverged_at is not None else {}),
                 "dtype": dtype, "disc": disc, "iterate": tag,
                 **({"gen_kwargs": gen_kwargs} if gen_kwargs else {}),
                 **({"lr": lr} if lr != 2e-4 else {}),

@@ -117,10 +117,14 @@ class VocoderTrainConfig:
     # ~2.0-2.2 with finite losses from ~1k steps — docs/PERF.md), so
     # 4x-best never trips. Two additional signals:
     #  * absolute ceiling: once past divergence_warmup_windows log
-    #    windows, mel_l1 above divergence_mel_ceiling counts as a bad
-    #    window even if it is the running best — every measured healthy
-    #    arm is well under 1.5 within a few hundred steps; the measured
-    #    collapses pin >= 2.0 (BASELINE.md 20k arms).
+    #    windows, a NON-improving window (no new running-best) with
+    #    mel_l1 above divergence_mel_ceiling counts as bad — every
+    #    measured healthy arm is well under 1.5 within a few hundred
+    #    steps while the measured collapses pin >= 2.0 and stop setting
+    #    record minima (BASELINE.md 20k arms). The new-best reset keeps
+    #    a corpus that legitimately trains through/above 1.5 alive; a
+    #    corpus whose CONVERGED mel_l1 sits above the ceiling should
+    #    raise divergence_mel_ceiling (or set it 0 = off) explicitly.
     #  * frozen metrics: mel_l1 bit-identical across frozen_patience+1
     #    consecutive windows — random segment sampling makes a healthy
     #    (even plateaued) run's per-window loss vary, so exact repetition
@@ -605,6 +609,17 @@ class VocoderTrainer:
             if not steps:
                 raise FileNotFoundError(f"no checkpoints in {self.ckpt_dir}")
             step = steps[-1]
+        if (self.ckpt_dir / f"{step}" / "HALTED.json").exists():
+            # this checkpoint is the watchdog's DIVERGED halt state —
+            # resuming it would burn budget on a collapsed run with a
+            # reset watchdog. Serve/fine-tune from the
+            # generator_last_healthy artifact saved next to it, or
+            # restore an earlier periodic step explicitly.
+            raise ValueError(
+                f"checkpoint {self.ckpt_dir / str(step)} is a divergence "
+                f"halt state (HALTED.json present) — not resumable; use "
+                f"the generator_last_healthy artifact beside it or an "
+                f"earlier periodic step")
         self.state = load_params(self.ckpt_dir / f"{step}" / "full_state",
                                  template=jax.device_get(self.state))
         if self.n_proc > 1:
@@ -651,11 +666,21 @@ class VocoderTrainer:
             if mel < self._best_mel_l1:
                 self._best_mel_l1 = mel
                 bad = False
+                improved = True
             else:
                 bad = mel > c.divergence_factor * self._best_mel_l1
-            if (self._windows_seen > c.divergence_warmup_windows
+                improved = False
+            if (not improved
+                    and self._windows_seen > c.divergence_warmup_windows
                     and mel > c.divergence_mel_ceiling):
-                bad = True                                 # early collapse
+                # early collapse — but only on NON-improving windows: the
+                # 1.5 ceiling is calibrated on the bench corpora, and a
+                # real corpus legitimately descending through (or noisily
+                # plateaued above) that level keeps resetting the streak
+                # with new bests, while measured rails (BigVGAN tanh
+                # collapse pinned at ~2.0-2.2) set new record minima far
+                # too rarely to escape patience consecutive bad windows
+                bad = True
             self._bad_windows = self._bad_windows + 1 if bad else 0
         if (self._bad_windows < c.divergence_patience
                 and self._frozen_windows < c.frozen_patience):
@@ -753,6 +778,19 @@ class VocoderTrainer:
                     if c.on_divergence == "halt":
                         self.save(step)
                         note = self._save_last_healthy(step)
+                        if self.ckpt_dir is not None:
+                            # cross-process halt marker: restore() refuses
+                            # to auto-resume a diverged state (GAN collapse
+                            # does not self-recover, and a fresh process
+                            # would reset the watchdog's running best so
+                            # the factor trigger could never re-fire)
+                            from visual_onoma_to_wave_tpu.parallel import (
+                                is_primary)
+                            if is_primary():
+                                (self.ckpt_dir / f"{step}" /
+                                 "HALTED.json").write_text(json.dumps(
+                                     {"diverged_at": step,
+                                      "mel_l1": m["mel_l1"]}))
                         print(f"vocoder halt: the step-{step} checkpoint is "
                               f"the DIVERGED state (forensics only); {note}")
                         return self.state
