@@ -50,6 +50,7 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]
                        / "examples"))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 
 def main() -> int:
@@ -227,25 +228,17 @@ def _free_running_full_stack(trainer, gen, params) -> dict:
     import jax
     import jax.numpy as jnp
 
+    from bench_vocoder_quality import jit_logmel
+
     from visual_onoma_to_wave_tpu.metrics import mcd_dtw, mrstft_distance
     from visual_onoma_to_wave_tpu.models.vocoder import vocoder_infer
-    from visual_onoma_to_wave_tpu.ops.stft import (
-        hann_window, logmel_and_energy, melscale_fbanks)
     from visual_onoma_to_wave_tpu.training.trainer import _jit_batch
 
     acfg = trainer.config.audio
     hop = acfg.stft.hop_length
-    window = jnp.asarray(hann_window(acfg.stft.win_length))
-    fb = jnp.asarray(melscale_fbanks(
-        acfg.stft.filter_length // 2 + 1, acfg.mel.mel_fmin,
-        acfg.mel.mel_fmax, acfg.mel.n_mel_channels, acfg.sampling_rate))
-
-    @jax.jit
-    def logmel(audio):
-        m, _ = logmel_and_energy(audio, window, fb,
-                                 acfg.stft.filter_length, hop,
-                                 acfg.stft.win_length)
-        return m                                         # (B, n_mels, T)
+    logmel = jit_logmel(acfg.stft.filter_length, hop, acfg.stft.win_length,
+                        acfg.mel.n_mel_channels, acfg.mel.mel_fmin,
+                        acfg.mel.mel_fmax, acfg.sampling_rate)
 
     audio_root = pathlib.Path(trainer.config.path.preprocessed) / "audio"
     wave_gt = {p.stem: p for p in audio_root.glob("*/*.npy")}

@@ -62,6 +62,28 @@ def _clip(rng: np.random.Generator) -> np.ndarray:
     return np.clip(out, -1.0, 1.0)
 
 
+def jit_logmel(n_fft, hop, win, n_mels, f_min, f_max, sr):
+    """Jitted batch log-mel analyzer over the package DSP — the ONE
+    scoring-harness frontend shared by the quality, long-run, demo-gate
+    and e2e-floor benches (a metric fix like the round-4 pad-bleed one
+    must land in exactly one place)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visual_onoma_to_wave_tpu.ops.stft import (
+        hann_window, logmel_and_energy, melscale_fbanks)
+
+    window = jnp.asarray(hann_window(win))
+    fb = jnp.asarray(melscale_fbanks(n_fft // 2 + 1, f_min, f_max,
+                                     n_mels, sr))
+
+    @jax.jit
+    def logmel(audio):
+        m, _ = logmel_and_energy(audio, window, fb, n_fft, hop, win)
+        return m                                        # (B, n_mels, T)
+    return logmel
+
+
 def corpus_and_gt(cfg):
     """Shared scoring harness (also used by bench_vocoder_longrun.py —
     keep the matched-budget and long-run numbers comparable by
@@ -72,19 +94,9 @@ def corpus_and_gt(cfg):
     import jax
     import jax.numpy as jnp
 
-    from visual_onoma_to_wave_tpu.ops.stft import (
-        hann_window, logmel_and_energy, melscale_fbanks)
-
-    window = jnp.asarray(hann_window(cfg.win_length))
-    fb = jnp.asarray(melscale_fbanks(cfg.n_fft // 2 + 1, cfg.f_min,
-                                     cfg.f_max, cfg.n_mels,
-                                     cfg.sampling_rate))
-
-    @jax.jit
-    def logmel(audio):
-        m, _ = logmel_and_energy(audio, window, fb, cfg.n_fft,
-                                 cfg.hop_length, cfg.win_length)
-        return m                                        # (B, n_mels, T)
+    logmel = jit_logmel(cfg.n_fft, cfg.hop_length, cfg.win_length,
+                        cfg.n_mels, cfg.f_min, cfg.f_max,
+                        cfg.sampling_rate)
 
     rng = np.random.default_rng(0)
     clips = [_clip(rng) for _ in range(24)]

@@ -119,34 +119,30 @@ def _score_committed_vocoders(demo: pathlib.Path, work: pathlib.Path,
     """Copy-synthesis quality of each committed vocoder checkpoint over the
     demo val clips: GT audio -> log-mel -> vocoder -> waveform, scored in
     the mel domain (re-analysis mel L1 / MCD) and the waveform domain
-    (multi-resolution STFT distance)."""
+    (multi-resolution STFT distance) through bench_vocoder_quality's
+    shared make_scorer — the demo gate and the matched-budget family
+    numbers stay comparable by construction."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from visual_onoma_to_wave_tpu.metrics import (
-        mcd_frames, mel_l1, mrstft_distance)
+    sys.path.insert(0, str(REPO / "benchmarks"))
+    from bench_vocoder_quality import jit_logmel, make_scorer
+
     from visual_onoma_to_wave_tpu.models.vocoder import get_vocoder
-    from visual_onoma_to_wave_tpu.ops.stft import (
-        hann_window, logmel_and_energy, melscale_fbanks)
     from visual_onoma_to_wave_tpu.utils.checkpoint import load_params
 
     hop = audio_cfg.stft.hop_length
-    window = jnp.asarray(hann_window(audio_cfg.stft.win_length))
-    fb = jnp.asarray(melscale_fbanks(
-        audio_cfg.stft.filter_length // 2 + 1, audio_cfg.mel.mel_fmin,
-        audio_cfg.mel.mel_fmax, audio_cfg.mel.n_mel_channels,
-        audio_cfg.sampling_rate))
-
-    @jax.jit
-    def logmel(audio):
-        m, _ = logmel_and_energy(audio, window, fb,
-                                 audio_cfg.stft.filter_length, hop,
-                                 audio_cfg.stft.win_length)
-        return m                                         # (B, n_mels, T)
+    logmel = jit_logmel(audio_cfg.stft.filter_length, hop,
+                        audio_cfg.stft.win_length,
+                        audio_cfg.mel.n_mel_channels,
+                        audio_cfg.mel.mel_fmin, audio_cfg.mel.mel_fmax,
+                        audio_cfg.sampling_rate)
 
     # val clips with saved trimmed audio (feature-space augmentations have
-    # none — preprocess --save-audio writes originals only)
+    # none — preprocess --save-audio writes originals only), as the
+    # (audio, gt_mel) pairs make_scorer consumes; hop-trimmed so vocoded
+    # length == clip length exactly
     audio_root = work / "preprocessed" / "audio"
     gt = []
     for line in (work / "preprocessed" / "val.txt").read_text().splitlines():
@@ -158,7 +154,10 @@ def _score_committed_vocoders(demo: pathlib.Path, work: pathlib.Path,
             continue
         wav = np.asarray(np.load(p), np.float32)
         t = len(wav) // hop
-        gt.append(wav[: t * hop])
+        wav = wav[: t * hop]
+        mel = np.asarray(jax.device_get(
+            logmel(jnp.asarray(wav)[None])))[0]          # (n_mels, T)
+        gt.append((wav, mel))
     assert gt, "no val clips with saved audio — preprocess --save-audio?"
 
     # (json tag, committed config file, checkpoint dir)
@@ -173,34 +172,8 @@ def _score_committed_vocoders(demo: pathlib.Path, work: pathlib.Path,
         gen = get_vocoder(family, **dict(model_blk.get("vocoder_kwargs")
                                          or {}))
         params = load_params(demo / ckpt)
-
-        @jax.jit
-        def vocode(p, mel_bt):
-            return gen.apply(p, mel_bt)                  # (B, T*hop)
-
-        l1s, mcds, scs, mags = [], [], [], []
-        for audio in gt:
-            m = np.asarray(jax.device_get(
-                logmel(jnp.asarray(audio)[None])))[0]    # (n_mels, T)
-            t = len(audio) // hop
-            wav = np.asarray(jax.device_get(
-                vocode(params, jnp.asarray(m[:, :t].T)[None])))[0]
-            wav = np.clip(wav[: len(audio)], -1.0, 1.0)
-            m2 = np.asarray(jax.device_get(
-                logmel(jnp.asarray(wav)[None])))[0]
-            tt = min(m.shape[1], m2.shape[1])
-            l1s.append(mel_l1(m2[:, :tt].T, m[:, :tt].T))
-            mcds.append(mcd_frames(m2[:, :tt].T, m[:, :tt].T))
-            d = mrstft_distance(wav, audio)
-            scs.append(d["sc"])
-            mags.append(d["mag"])
-        out[tag] = {"family": family,
-                    "mel_l1": float(np.mean(l1s)),
-                    "mcd_db": float(np.mean(mcds)),
-                    "mrstft_sc": float(np.mean(scs)),
-                    "mrstft_mag": float(np.mean(mags)),
-                    "mrstft": float(np.mean(scs) + np.mean(mags)),
-                    "clips": len(gt)}
+        score = make_scorer(gen, gt, logmel)
+        out[tag] = {"family": family, "clips": len(gt), **score(params)}
     return out
 
 
